@@ -1,0 +1,152 @@
+"""Frozen config tree — single source of truth for every constant in the framework.
+
+Reference provenance: the reference scatters these as hard-coded constants in its
+train/test scripts (SURVEY.md §6 "Config / flag system", reference mount empty —
+values fixed by the DenseBox paper, arXiv:1509.04874 §3, and SURVEY.md Appendix B).
+
+All dataclasses are frozen + hashable so they can be closed over by jitted
+functions as static arguments, and serialized into checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+
+def _round_channels(c: float, multiple: int = 8) -> int:
+    """Round a channel count to a TPU-friendly multiple (sublane alignment)."""
+    return max(multiple, int(round(c / multiple)) * multiple)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelCfg:
+    """VGG-FCN DenseBox architecture (paper §3.2, §4; SURVEY.md C1–C4).
+
+    ``width_mult`` scales every conv width (rounded to sublane multiples) —
+    the "slim trunk" production-inference config demanded by the 5k img/s/chip
+    target (SURVEY.md §7 sanity math); ``width_mult=1.0`` is the full-width
+    parity config.
+    """
+
+    num_landmarks: int = 0          # N per-landmark heatmap channels (paper §4)
+    use_refine: bool = False        # refinement branch fusing score+landmarks (paper §4)
+    width_mult: float = 1.0         # trunk/head channel multiplier
+    head_width: int = 512           # 1x1 conv width in det/loc/lm heads (paper §3.2)
+    refine_width: int = 64          # conv width in the refinement branch
+    dropout_rate: float = 0.5       # dropout between head convs (paper §3.2)
+    compute_dtype: str = "float32"  # 'bfloat16' for production inference
+    param_dtype: str = "float32"
+
+    # Architecture invariants (not knobs): 3 maxpools + one 2x skip-upsample
+    # => output stride 4 (paper §3.2). Inputs must be divisible by 8.
+    stride: int = 4
+    min_divisor: int = 8
+
+    def scaled(self, c: int) -> int:
+        return _round_channels(c * self.width_mult)
+
+
+@dataclasses.dataclass(frozen=True)
+class LabelCfg:
+    """Dense GT label-map geometry (paper §3.1; SURVEY.md Appendix B).
+
+    All radii/normalizers below are in *map units* (output-grid pixels) unless
+    suffixed ``_px`` (input-image pixels).
+    """
+
+    stride: int = 4
+    patch_size: int = 240           # training patch edge (px)
+    rc_ratio: float = 0.3           # positive-disc radius = rc_ratio * box height (map units)
+    rnear: float = 2.0              # gray-zone dilation radius around positives (map units)
+    std_height_px: float = 50.0     # standard object height in a patch (px)
+    scale_band: Tuple[float, float] = (0.8, 1.25)  # in-scale box-height band vs std_height
+
+    @property
+    def map_size(self) -> int:
+        assert self.patch_size % self.stride == 0
+        return self.patch_size // self.stride
+
+    @property
+    def loc_norm(self) -> float:
+        """Regression normalizer: 50 px / stride 4 = 12.5 map units (paper §3.3)."""
+        return self.std_height_px / self.stride
+
+    @property
+    def height_band_map(self) -> Tuple[float, float]:
+        """In-scale box-height band in map units."""
+        lo, hi = self.scale_band
+        return (lo * self.std_height_px / self.stride,
+                hi * self.std_height_px / self.stride)
+
+
+@dataclasses.dataclass(frozen=True)
+class LossCfg:
+    """OHEM-masked multi-task L2 loss (paper §3.3; SURVEY.md C6)."""
+
+    lambda_loc: float = 3.0         # loc-loss weight (paper §3.3)
+    lambda_lm: float = 1.0          # landmark heatmap loss weight (paper §4)
+    lambda_refine: float = 1.0      # refined-score loss weight (paper §4)
+    neg_pos_ratio: float = 1.0      # #sampled negatives = ratio * #positives
+    hard_frac: float = 0.5          # fraction of sampled negatives that are hardest-by-loss
+    min_neg: int = 16               # negatives sampled even when a patch has no positives
+
+
+@dataclasses.dataclass(frozen=True)
+class InferCfg:
+    """Image-pyramid inference + decode + NMS (paper §2; SURVEY.md C10–C11)."""
+
+    scales: Tuple[float, ...] = (0.5, 0.7071, 1.0, 1.4142)  # pyramid scale factors
+    score_thresh: float = 0.5
+    nms_iou: float = 0.5
+    topk_per_scale: int = 256       # fixed-shape candidate extraction (no dynamic shapes)
+    max_dets: int = 128             # final detections after cross-scale NMS
+    pad_multiple: int = 8           # input spatial padding granularity
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainCfg:
+    """Training loop (paper §3.4; SURVEY.md C9)."""
+
+    batch_size: int = 32
+    learning_rate: float = 1e-3
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    lr_decay_steps: int = 20000
+    lr_decay_rate: float = 0.5
+    num_steps: int = 100000
+    max_boxes: int = 16             # padded per-patch box capacity
+    seed: int = 0
+    ckpt_every: int = 1000
+    ckpt_keep: int = 3
+    log_every: int = 50
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseBoxConfig:
+    """Root config bundling every subsystem; serialized into checkpoints."""
+
+    model: ModelCfg = dataclasses.field(default_factory=ModelCfg)
+    label: LabelCfg = dataclasses.field(default_factory=LabelCfg)
+    loss: LossCfg = dataclasses.field(default_factory=LossCfg)
+    infer: InferCfg = dataclasses.field(default_factory=InferCfg)
+    train: TrainCfg = dataclasses.field(default_factory=TrainCfg)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "DenseBoxConfig":
+        def _mk(tp, sub):
+            fields = {f.name for f in dataclasses.fields(tp)}
+            kw = {k: (tuple(v) if isinstance(v, list) else v)
+                  for k, v in sub.items() if k in fields}
+            return tp(**kw)
+
+        return cls(
+            model=_mk(ModelCfg, d.get("model", {})),
+            label=_mk(LabelCfg, d.get("label", {})),
+            loss=_mk(LossCfg, d.get("loss", {})),
+            infer=_mk(InferCfg, d.get("infer", {})),
+            train=_mk(TrainCfg, d.get("train", {})),
+        )

@@ -1,0 +1,181 @@
+"""DenseBox model — TPU-native Flax implementation.
+
+Spec provenance: the reference mount (/root/reference) was empty at build time
+(SURVEY.md §0); the architecture follows the DenseBox paper (arXiv:1509.04874
+§3.2 and §4) and BASELINE.json:5 (north star):
+
+  * VGG19-derived fully-convolutional trunk through conv4_4
+    (conv3_4 @ stride 4 / 256ch, conv4_4 @ stride 8 / 512ch)
+  * skip-upsample fusion: bilinear x2 upsample of conv4_4 (align_corners
+    semantics, matching torch ``nn.UpsamplingBilinear2d``) concatenated with
+    conv3_4 -> 768ch feature map at stride 4
+  * det head (1x1 conv 512 -> ReLU -> dropout -> 1x1 conv 1) -> score map
+  * loc head (same shape -> 1x1 conv 4) -> distance-to-border offset map
+  * optional landmark head (-> N heatmaps) and refinement branch fusing the
+    landmark heatmaps with the score map into a refined score (paper §4)
+
+TPU-first choices (not in the reference):
+  * NHWC layout throughout (TPU conv-friendly)
+  * compute dtype is a config knob (bf16 production inference; f32 parity runs)
+  * the x2 bilinear upsample is expressed as two small dense interpolation
+    matmuls so it rides the MXU and fuses into the surrounding convs
+  * outputs are cast back to f32 so decode/loss numerics are stable
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from jax import lax
+
+from densebox_tpu.config import ModelCfg
+
+
+def matmul_precision(dtype) -> lax.Precision:
+    """f32 compute means real f32 math (parity discipline, SURVEY.md §8 hard
+    part 1); bf16 compute takes the fast MXU default."""
+    return (lax.Precision.HIGHEST if jnp.dtype(dtype) == jnp.float32
+            else lax.Precision.DEFAULT)
+
+# (kind, name, base_width). The single source of truth for the trunk topology —
+# the torch parity oracle in tests/ walks this same plan so both frameworks
+# build byte-identical graphs. f3 is tapped at conv3_4, f4 at conv4_4.
+TRUNK_PLAN = (
+    ("conv", "conv1_1", 64), ("conv", "conv1_2", 64), ("pool", "pool1", 0),
+    ("conv", "conv2_1", 128), ("conv", "conv2_2", 128), ("pool", "pool2", 0),
+    ("conv", "conv3_1", 256), ("conv", "conv3_2", 256),
+    ("conv", "conv3_3", 256), ("conv", "conv3_4", 256),   # -> f3 (stride 4)
+    ("pool", "pool3", 0),
+    ("conv", "conv4_1", 512), ("conv", "conv4_2", 512),
+    ("conv", "conv4_3", 512), ("conv", "conv4_4", 512),   # -> f4 (stride 8)
+)
+
+
+def interp_matrix_align_corners(n_in: int, n_out: int) -> np.ndarray:
+    """Dense 1-D bilinear interpolation matrix with align_corners=True semantics.
+
+    Matches ``torch.nn.functional.interpolate(mode='bilinear',
+    align_corners=True)``: output sample o maps to input position
+    o * (n_in - 1) / (n_out - 1). Returned as a numpy constant so it folds
+    into the jitted graph; applying it is a (n_out, n_in) x (n_in, ...) matmul
+    that XLA places on the MXU.
+    """
+    if n_in == 1:
+        return np.ones((n_out, 1), np.float32)
+    pos = np.arange(n_out, dtype=np.float64) * (n_in - 1) / max(n_out - 1, 1)
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 2)
+    w = pos - lo
+    m = np.zeros((n_out, n_in), np.float64)
+    m[np.arange(n_out), lo] = 1.0 - w
+    m[np.arange(n_out), lo + 1] = w
+    return m.astype(np.float32)
+
+
+def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
+    """x2 bilinear upsample (align_corners) of an NHWC tensor via two matmuls."""
+    _, h, w, _ = x.shape
+    prec = matmul_precision(x.dtype)
+    ah = jnp.asarray(interp_matrix_align_corners(h, 2 * h), dtype=x.dtype)
+    aw = jnp.asarray(interp_matrix_align_corners(w, 2 * w), dtype=x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", ah, x, precision=prec)
+    return jnp.einsum("pw,bhwc->bhpc", aw, y, precision=prec)
+
+
+class _Head(nn.Module):
+    """1x1-conv prediction head: conv(head_width) -> ReLU -> dropout -> conv(out).
+
+    Dropout placement per paper §3.2 / SURVEY.md C3 (between the two head convs).
+    """
+
+    cfg: ModelCfg
+    out_channels: int
+    name_prefix: str
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        pdtype = jnp.dtype(self.cfg.param_dtype)
+        prec = matmul_precision(dtype)
+        x = nn.Conv(self.cfg.scaled(self.cfg.head_width), (1, 1), dtype=dtype,
+                    param_dtype=pdtype, precision=prec,
+                    kernel_init=nn.initializers.he_normal(),
+                    name=f"{self.name_prefix}_conv1")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.cfg.dropout_rate, deterministic=not train)(x)
+        x = nn.Conv(self.out_channels, (1, 1), dtype=dtype, param_dtype=pdtype,
+                    precision=prec, kernel_init=nn.initializers.he_normal(),
+                    name=f"{self.name_prefix}_conv2")(x)
+        return x
+
+
+class DenseBox(nn.Module):
+    """The DenseBox FCN. Input NHWC images (H, W divisible by 8); outputs a dict
+    of stride-4 dense maps, all cast to float32:
+
+      score: (B, H/4, W/4, 1)   raw detection score (L2-trained, no sigmoid)
+      loc:   (B, H/4, W/4, 4)   normalized (d_left, d_top, d_right, d_bottom)
+      lm:    (B, H/4, W/4, N)   landmark heatmaps          [if num_landmarks]
+      refined: (B, H/4, W/4, 1) landmark-fused score       [if use_refine]
+    """
+
+    cfg: ModelCfg
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, *, train: bool = False
+                 ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        pdtype = jnp.dtype(cfg.param_dtype)
+        if images.shape[1] % cfg.min_divisor or images.shape[2] % cfg.min_divisor:
+            raise ValueError(
+                f"input H,W must be divisible by {cfg.min_divisor}, "
+                f"got {images.shape}")
+
+        prec = matmul_precision(dtype)
+        x = images.astype(dtype)
+        f3 = None
+        for kind, name, width in TRUNK_PLAN:
+            if kind == "conv":
+                x = nn.Conv(cfg.scaled(width), (3, 3), padding="SAME",
+                            dtype=dtype, param_dtype=pdtype, precision=prec,
+                            kernel_init=nn.initializers.he_normal(),
+                            name=name)(x)
+                x = nn.relu(x)
+                if name == "conv3_4":
+                    f3 = x
+            else:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        f4 = x
+
+        feat = jnp.concatenate([f3, upsample2x_align_corners(f4)], axis=-1)
+
+        score = _Head(cfg, 1, "det", name="det")(feat, train=train)
+        loc = _Head(cfg, 4, "loc", name="loc")(feat, train=train)
+        out = {"score": score.astype(jnp.float32),
+               "loc": loc.astype(jnp.float32)}
+
+        if cfg.num_landmarks:
+            lm = _Head(cfg, cfg.num_landmarks, "lm", name="lm")(feat, train=train)
+            out["lm"] = lm.astype(jnp.float32)
+            if cfg.use_refine:
+                # Refinement branch (paper §4): fuse raw score + landmark
+                # heatmaps through a small conv stack into a refined score.
+                # Exact refine-branch widths are our spec choice (reference
+                # absent); documented here as 3x3(refine_width) -> ReLU ->
+                # 3x3(refine_width) -> ReLU -> 1x1(1).
+                r = jnp.concatenate([score, lm], axis=-1)
+                for i in range(2):
+                    r = nn.Conv(cfg.refine_width, (3, 3), padding="SAME",
+                                dtype=dtype, param_dtype=pdtype, precision=prec,
+                                kernel_init=nn.initializers.he_normal(),
+                                name=f"refine_conv{i + 1}")(r)
+                    r = nn.relu(r)
+                r = nn.Conv(1, (1, 1), dtype=dtype, param_dtype=pdtype,
+                            precision=prec,
+                            kernel_init=nn.initializers.he_normal(),
+                            name="refine_out")(r)
+                out["refined"] = r.astype(jnp.float32)
+        return out

@@ -1,0 +1,82 @@
+"""Model tests: shapes, stride invariants, and torch-oracle parity (<=1e-4).
+
+Acceptance target: BASELINE.json:5 "per-pixel heatmap fidelity to 1e-4".
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from densebox_tpu.config import ModelCfg
+from densebox_tpu.models import DenseBox, upsample2x_align_corners
+
+
+def _init(cfg, h, w, batch=1, seed=0):
+    model = DenseBox(cfg)
+    x = jax.random.normal(jax.random.key(seed), (batch, h, w, 3), jnp.float32)
+    params = model.init(jax.random.key(1), x)
+    return model, params, x
+
+
+def test_output_shapes_and_stride():
+    cfg = ModelCfg(num_landmarks=5, use_refine=True, width_mult=0.25)
+    model, params, x = _init(cfg, 64, 80, batch=2)
+    out = jax.jit(lambda p, x: model.apply(p, x))(params, x)
+    assert out["score"].shape == (2, 16, 20, 1)
+    assert out["loc"].shape == (2, 16, 20, 4)
+    assert out["lm"].shape == (2, 16, 20, 5)
+    assert out["refined"].shape == (2, 16, 20, 1)
+    for v in out.values():
+        assert v.dtype == jnp.float32
+
+
+def test_rejects_non_divisible_input():
+    cfg = ModelCfg(width_mult=0.25)
+    model = DenseBox(cfg)
+    x = jnp.zeros((1, 60, 64, 3))
+    with pytest.raises(ValueError):
+        model.init(jax.random.key(0), x)
+
+
+def test_upsample2x_matches_torch_align_corners():
+    import torch
+    import torch.nn.functional as F
+
+    x = np.random.RandomState(0).randn(2, 7, 9, 3).astype(np.float32)
+    ours = np.asarray(upsample2x_align_corners(jnp.asarray(x)))
+    theirs = F.interpolate(
+        torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy()),
+        scale_factor=2, mode="bilinear", align_corners=True)
+    theirs = np.transpose(theirs.numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+@pytest.mark.parametrize("landmarks,refine", [(0, False), (5, True)])
+def test_torch_oracle_parity(landmarks, refine):
+    """Same weights, same input -> per-pixel agreement <= 1e-4 vs torch."""
+    from tests.torch_oracle import oracle_forward
+
+    cfg = ModelCfg(num_landmarks=landmarks, use_refine=refine,
+                   width_mult=0.25)
+    model, params, x = _init(cfg, 48, 64, batch=2, seed=3)
+    ours = jax.jit(lambda p, x: model.apply(p, x))(params, x)
+    theirs = oracle_forward(
+        jax.tree.map(np.asarray, params), np.asarray(x), cfg)
+    assert set(theirs) == set(ours)
+    for k in theirs:
+        np.testing.assert_allclose(
+            np.asarray(ours[k]), theirs[k], atol=1e-4,
+            err_msg=f"head {k} diverged from torch oracle")
+
+
+def test_bf16_compute_close_to_f32():
+    cfg32 = ModelCfg(width_mult=0.25)
+    cfg16 = ModelCfg(width_mult=0.25, compute_dtype="bfloat16")
+    model32, params, x = _init(cfg32, 48, 48)
+    out32 = model32.apply(params, x)
+    out16 = DenseBox(cfg16).apply(params, x)
+    # bf16 trunk should track f32 within coarse tolerance (sanity, not parity)
+    err = np.max(np.abs(np.asarray(out32["score"]) - np.asarray(out16["score"])))
+    scale = np.max(np.abs(np.asarray(out32["score"]))) + 1e-6
+    assert err / scale < 0.1
