@@ -1,0 +1,150 @@
+"""Image-pyramid inference driver (SURVEY.md C10, §4.2; BASELINE configs 1-3).
+
+The reference loops scales on the host: cv2.resize -> H2D -> forward -> D2H ->
+numpy threshold/decode, then host NMS (SURVEY.md §4.2). Here the ENTIRE
+pipeline — multi-scale resize, forward, top-k decode, cross-scale concat,
+greedy NMS, landmark peak extraction — is one jitted XLA program; pixels enter
+HBM once and only (max_dets, ...) results leave (north star, BASELINE.json:5).
+
+No dynamic shapes anywhere: the scale set is static (each scale unrolled into
+the same program with its own static resize target, rounded up to the model's
+divisibility constraint), candidates are fixed-K per scale with validity bits.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from densebox_tpu.config import InferCfg, LabelCfg
+from densebox_tpu.ops.decode import decode_topk
+from densebox_tpu.ops.nms import nms
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pyramid_shapes(h: int, w: int, scales, multiple: int = 8
+                   ) -> List[Tuple[int, int, float, float]]:
+    """Static per-scale resize targets. Scaled dims are rounded up to the
+    model's divisibility constraint; the *actual* per-axis scale factors
+    (hs/h, ws/w) are returned so decode maps back to exact original coords —
+    this avoids padding + validity masks entirely (SURVEY.md §8 hard part 5).
+    """
+    out = []
+    for s in scales:
+        hs = max(multiple, _round_up(int(round(h * s)), multiple))
+        ws = max(multiple, _round_up(int(round(w * s)), multiple))
+        out.append((hs, ws, hs / h, ws / w))
+    return out
+
+
+def decode_landmarks(
+    lm_map: jnp.ndarray,     # (h, w, L) landmark heatmaps at stride `stride`
+    boxes: jnp.ndarray,      # (D, 4) xyxy, original-image coords
+    valid: jnp.ndarray,      # (D,) bool
+    *,
+    stride: int,
+    scale_x: float = 1.0,
+    scale_y: float = 1.0,
+) -> jnp.ndarray:
+    """Per-detection landmark positions: masked argmax of each landmark
+    heatmap inside the detection's box. Returns (D, L, 2) xy in
+    original-image coords (zeros for invalid detections)."""
+    h, w, num_lm = lm_map.shape
+    xs = (jnp.arange(w, dtype=jnp.float32) * stride / scale_x)[None, :]
+    ys = (jnp.arange(h, dtype=jnp.float32) * stride / scale_y)[:, None]
+
+    def one_box(box, ok):
+        inside = ((xs >= box[0]) & (xs <= box[2]) &
+                  (ys >= box[1]) & (ys <= box[3]))          # (h, w)
+        masked = jnp.where(inside[..., None], lm_map, -jnp.inf)
+        flat = masked.reshape(-1, num_lm)
+        idx = jnp.argmax(flat, axis=0)                      # (L,)
+        px = (idx % w).astype(jnp.float32) * stride / scale_x
+        py = (idx // w).astype(jnp.float32) * stride / scale_y
+        pts = jnp.stack([px, py], axis=-1)
+        return jnp.where(ok, pts, 0.0)
+
+    return jax.vmap(one_box)(boxes, valid)
+
+
+def detect_batch(
+    model,
+    params,
+    images: jnp.ndarray,          # (B, H, W, 3) original-resolution batch
+    infer_cfg: InferCfg,
+    label_cfg: LabelCfg,
+) -> Dict[str, jnp.ndarray]:
+    """Full pyramid detect on a batch. Jit-friendly pure function.
+
+    Returns dict: boxes (B, max_dets, 4), scores (B, max_dets),
+    valid (B, max_dets) [, lm_points (B, max_dets, L, 2)].
+    """
+    b, h, w, _ = images.shape
+    stride = label_cfg.stride
+    shapes = pyramid_shapes(h, w, infer_cfg.scales)
+
+    all_boxes, all_scores, all_valid = [], [], []
+    lm_ref = None  # heatmap for landmark decode: scale closest to 1.0
+    lm_ref_dist = None
+    for (hs, ws, sy, sx), nominal in zip(shapes, infer_cfg.scales):
+        imgs = images if (hs, ws) == (h, w) else jax.image.resize(
+            images, (b, hs, ws, images.shape[-1]), method="linear")
+        out = model.apply(params, imgs)
+        score = out.get("refined", out["score"])
+
+        def dec(s_map, l_map, sx=sx, sy=sy):
+            return decode_topk(
+                s_map, l_map, stride=stride, loc_norm=label_cfg.loc_norm,
+                topk=infer_cfg.topk_per_scale,
+                score_thresh=infer_cfg.score_thresh, scale_x=sx, scale_y=sy)
+
+        boxes, scores, valid = jax.vmap(dec)(score, out["loc"])
+        all_boxes.append(boxes)
+        all_scores.append(scores)
+        all_valid.append(valid)
+
+        if "lm" in out:
+            d = abs(nominal - 1.0)
+            if lm_ref is None or d < lm_ref_dist:
+                lm_ref, lm_ref_scale, lm_ref_dist = out["lm"], (sx, sy), d
+
+    # Cross-scale: concat fixed-K candidate sets, one global NMS (SURVEY §4.5)
+    boxes = jnp.concatenate(all_boxes, axis=1)
+    # clip to image bounds (predicted border distances are unconstrained)
+    limit = jnp.array([w - 1, h - 1, w - 1, h - 1], jnp.float32)
+    boxes = jnp.clip(boxes, 0.0, limit)
+    scores = jnp.concatenate(all_scores, axis=1)
+    valid = jnp.concatenate(all_valid, axis=1)
+
+    def one_nms(bx, sc, vl):
+        return nms(bx, sc, vl, iou_thresh=infer_cfg.nms_iou,
+                   max_out=infer_cfg.max_dets)
+
+    boxes, scores, valid = jax.vmap(one_nms)(boxes, scores, valid)
+    result = {"boxes": boxes, "scores": scores, "valid": valid}
+
+    if lm_ref is not None:
+        sx, sy = lm_ref_scale
+
+        def one_lm(lm, bx, vl):
+            return decode_landmarks(lm, bx, vl, stride=stride,
+                                    scale_x=sx, scale_y=sy)
+
+        result["lm_points"] = jax.vmap(one_lm)(lm_ref, boxes, valid)
+    return result
+
+
+def make_detect_fn(model, infer_cfg: InferCfg, label_cfg: LabelCfg):
+    """Jitted detector: fn(params, images (B,H,W,3)) -> detections dict.
+    One compile per distinct (B, H, W)."""
+
+    @jax.jit
+    def fn(params, images):
+        return detect_batch(model, params, images, infer_cfg, label_cfg)
+
+    return fn

@@ -1,0 +1,77 @@
+"""Greedy IoU-NMS, fully in-graph (SURVEY.md C11, §3.2).
+
+The reference's NMS is a host-side O(n^2) Python loop or torchvision's
+C++/CUDA kernel (SURVEY.md C11). The TPU-native equivalent keeps the whole
+thing on device with fixed shapes: one (K, K) IoU matrix (a handful of VPU
+ops for K<=1024) + a ``lax.fori_loop`` greedy sweep. Because candidates are
+sorted by score descending and suppression only ever flows from lower to
+higher indices, ``keep[i]`` is final by the time iteration i reads it —
+the loop is the exact sequential greedy algorithm, not an approximation.
+
+A Pallas variant lives in densebox_tpu/ops/pallas/nms.py for the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def box_area(boxes: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(boxes[..., 2] - boxes[..., 0], 0) * \
+        jnp.maximum(boxes[..., 3] - boxes[..., 1], 0)
+
+
+def iou_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU between (N, 4) and (M, 4) xyxy boxes -> (N, M)."""
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = box_area(a)[:, None] + box_area(b)[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def nms(
+    boxes: jnp.ndarray,    # (K, 4) xyxy
+    scores: jnp.ndarray,   # (K,)
+    valid: jnp.ndarray,    # (K,) bool
+    *,
+    iou_thresh: float,
+    max_out: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS over a fixed-capacity padded candidate set.
+
+    Returns (boxes (max_out, 4), scores (max_out,), valid (max_out,)),
+    sorted by score descending.
+    """
+    k = boxes.shape[0]
+    neg_inf = jnp.array(-jnp.inf, scores.dtype)
+    masked = jnp.where(valid, scores, neg_inf)
+    order = jnp.argsort(-masked)
+    boxes, scores, valid = boxes[order], scores[order], valid[order]
+
+    iou = iou_matrix(boxes, boxes)
+    idx = jnp.arange(k)
+
+    def body(i, keep):
+        alive = keep[i] & valid[i]
+        suppress = alive & (iou[i] > iou_thresh) & (idx > i)
+        return keep & ~suppress
+
+    keep = lax.fori_loop(0, k, body, valid)
+
+    out_scores, sel = lax.top_k(jnp.where(keep, scores, neg_inf),
+                                min(max_out, k))
+    out_boxes = boxes[sel]
+    out_valid = keep[sel]
+    if max_out > k:
+        pad = max_out - k
+        out_boxes = jnp.concatenate(
+            [out_boxes, jnp.zeros((pad, 4), out_boxes.dtype)])
+        out_scores = jnp.concatenate(
+            [out_scores, jnp.full((pad,), -jnp.inf, out_scores.dtype)])
+        out_valid = jnp.concatenate([out_valid, jnp.zeros((pad,), bool)])
+    return out_boxes, out_scores, out_valid

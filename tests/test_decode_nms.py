@@ -1,0 +1,173 @@
+"""Decode + NMS unit tests (SURVEY.md §5.2) and config-1/2/3 integration
+slices (BASELINE.json configs: single-scale CPU inference, pyramid +
+cross-scale NMS, landmark branch)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from densebox_tpu.config import InferCfg, LabelCfg, ModelCfg
+from densebox_tpu.infer import decode_landmarks, detect_batch, make_detect_fn
+from densebox_tpu.models import DenseBox
+from densebox_tpu.ops import decode_topk, iou_matrix, nms
+
+
+def _numpy_nms(boxes, scores, iou_thresh):
+    """Plain greedy reference NMS."""
+    order = np.argsort(-scores)
+    keep = []
+    while order.size:
+        i = order[0]
+        keep.append(i)
+        if order.size == 1:
+            break
+        rest = order[1:]
+        xx1 = np.maximum(boxes[i, 0], boxes[rest, 0])
+        yy1 = np.maximum(boxes[i, 1], boxes[rest, 1])
+        xx2 = np.minimum(boxes[i, 2], boxes[rest, 2])
+        yy2 = np.minimum(boxes[i, 3], boxes[rest, 3])
+        inter = np.maximum(xx2 - xx1, 0) * np.maximum(yy2 - yy1, 0)
+        area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        area_r = (boxes[rest, 2] - boxes[rest, 0]) * \
+            (boxes[rest, 3] - boxes[rest, 1])
+        iou = inter / np.maximum(area_i + area_r - inter, 1e-9)
+        order = rest[iou <= iou_thresh]
+    return keep
+
+
+def test_iou_matrix_basic():
+    a = jnp.array([[0., 0., 10., 10.], [5., 5., 15., 15.]])
+    m = np.asarray(iou_matrix(a, a))
+    np.testing.assert_allclose(np.diag(m), 1.0, atol=1e-6)
+    np.testing.assert_allclose(m[0, 1], 25.0 / 175.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_nms_matches_numpy_reference(seed):
+    rng = np.random.RandomState(seed)
+    n = 64
+    ctr = rng.uniform(20, 200, (n, 2))
+    wh = rng.uniform(10, 60, (n, 2))
+    boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], -1).astype(np.float32)
+    scores = rng.uniform(0.1, 1.0, n).astype(np.float32)
+
+    ref_keep = _numpy_nms(boxes, scores, 0.5)
+    ob, osc, ov = jax.jit(
+        lambda b, s, v: nms(b, s, v, iou_thresh=0.5, max_out=n)
+    )(jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(n, bool))
+    got = np.asarray(osc)[np.asarray(ov)]
+    want = np.sort(scores[ref_keep])[::-1]
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # surviving boxes match too (scores are unique w.h.p.)
+    got_boxes = np.asarray(ob)[np.asarray(ov)]
+    want_boxes = boxes[ref_keep][np.argsort(-scores[ref_keep])]
+    np.testing.assert_allclose(got_boxes, want_boxes, atol=1e-5)
+
+
+def test_nms_respects_validity():
+    boxes = jnp.array([[0., 0., 10., 10.], [100., 100., 110., 110.]])
+    scores = jnp.array([0.9, 0.8])
+    valid = jnp.array([False, True])
+    _, sc, vl = nms(boxes, scores, valid, iou_thresh=0.5, max_out=2)
+    assert np.asarray(vl).sum() == 1
+    assert np.asarray(sc)[0] == pytest.approx(0.8)
+
+
+def test_decode_roundtrips_known_box():
+    """Encode a box into score/loc maps at one pixel; decode must return it."""
+    lab = LabelCfg()
+    h = w = 32
+    box = np.array([20.0, 24.0, 80.0, 72.0])  # xyxy, image coords (scale 1)
+    py, px = 12, 14  # map pixel inside the box
+    score = np.zeros((h, w), np.float32)
+    score[py, px] = 1.0
+    loc = np.zeros((h, w, 4), np.float32)
+    # distances in map units, normalized (paper §3.3 / decode docstring)
+    loc[py, px] = [(px - box[0] / lab.stride) / lab.loc_norm,
+                   (py - box[1] / lab.stride) / lab.loc_norm,
+                   (box[2] / lab.stride - px) / lab.loc_norm,
+                   (box[3] / lab.stride - py) / lab.loc_norm]
+    boxes, scores, valid = decode_topk(
+        jnp.asarray(score), jnp.asarray(loc), stride=lab.stride,
+        loc_norm=lab.loc_norm, topk=8, score_thresh=0.5)
+    assert bool(valid[0]) and not bool(valid[1])
+    np.testing.assert_allclose(np.asarray(boxes[0]), box, atol=1e-4)
+
+
+def test_decode_scale_mapping():
+    """With scale factors != 1, decoded coords map back to original image."""
+    lab = LabelCfg()
+    score = np.zeros((16, 16), np.float32)
+    score[8, 8] = 1.0
+    loc = np.zeros((16, 16, 4), np.float32)
+    loc[8, 8] = [0.2, 0.2, 0.2, 0.2]
+    boxes, _, _ = decode_topk(
+        jnp.asarray(score), jnp.asarray(loc), stride=4, loc_norm=12.5,
+        topk=4, score_thresh=0.5, scale_x=2.0, scale_y=0.5)
+    b = np.asarray(boxes[0])
+    d = 0.2 * 12.5  # map units
+    np.testing.assert_allclose(
+        b, [(8 - d) * 4 / 2.0, (8 - d) * 4 / 0.5,
+            (8 + d) * 4 / 2.0, (8 + d) * 4 / 0.5], atol=1e-4)
+
+
+def test_decode_landmarks_peak_in_box():
+    lm = np.zeros((16, 16, 2), np.float32)
+    lm[5, 6, 0] = 3.0   # inside box
+    lm[2, 2, 0] = 9.0   # outside box — must be ignored
+    lm[7, 7, 1] = 1.0
+    boxes = jnp.array([[16., 12., 36., 32.]])  # covers map px x in [4,9], y in [3,8]
+    pts = decode_landmarks(jnp.asarray(lm), boxes, jnp.array([True]), stride=4)
+    np.testing.assert_allclose(np.asarray(pts[0, 0]), [24., 20.], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pts[0, 1]), [28., 28.], atol=1e-5)
+
+
+# ---------------------------------------------------------------- integration
+
+def _tiny_model(landmarks=0, refine=False):
+    cfg = ModelCfg(num_landmarks=landmarks, use_refine=refine, width_mult=0.125)
+    return DenseBox(cfg), cfg
+
+
+def test_config1_single_scale_640x480_cpu():
+    """BASELINE config 1: single 640x480 image, single-scale inference,
+    score+bbox heatmaps -> NMS decode, all on CPU."""
+    model, _ = _tiny_model()
+    img = jax.random.uniform(jax.random.key(0), (1, 480, 640, 3))
+    params = model.init(jax.random.key(1), img[:, :64, :64])
+    icfg = InferCfg(scales=(1.0,), score_thresh=-1e9, topk_per_scale=64,
+                    max_dets=32)
+    out = make_detect_fn(model, icfg, LabelCfg())(params, img)
+    assert out["boxes"].shape == (1, 32, 4)
+    assert out["scores"].shape == (1, 32)
+    assert np.isfinite(np.asarray(out["boxes"])).all()
+    assert np.asarray(out["valid"]).any()  # thresh -inf => candidates exist
+
+
+def test_config2_pyramid_cross_scale_nms():
+    """BASELINE config 2: batched multi-scale pyramid, on-device resize,
+    cross-scale NMS (smaller canvas to keep CPU compile quick)."""
+    model, _ = _tiny_model()
+    imgs = jax.random.uniform(jax.random.key(0), (2, 128, 160, 3))
+    params = model.init(jax.random.key(1), imgs[:1, :64, :64])
+    icfg = InferCfg(scales=(0.5, 1.0, 1.5), score_thresh=-1e9,
+                    topk_per_scale=32, max_dets=16)
+    out = jax.jit(lambda p, x: detect_batch(model, p, x, icfg, LabelCfg()))(
+        params, imgs)
+    assert out["boxes"].shape == (2, 16, 4)
+    assert np.isfinite(np.asarray(out["scores"][out["valid"]])).all()
+
+
+def test_config3_landmark_branch_inference():
+    """BASELINE config 3: joint landmark-heatmap branch, refined score fused
+    with bbox maps, per-detection keypoints decoded."""
+    model, _ = _tiny_model(landmarks=4, refine=True)
+    imgs = jax.random.uniform(jax.random.key(0), (1, 96, 96, 3))
+    params = model.init(jax.random.key(1), imgs)
+    icfg = InferCfg(scales=(1.0,), score_thresh=-1e9, topk_per_scale=16,
+                    max_dets=8)
+    out = jax.jit(lambda p, x: detect_batch(model, p, x, icfg, LabelCfg()))(
+        params, imgs)
+    assert out["lm_points"].shape == (1, 8, 4, 2)
+    assert np.isfinite(np.asarray(out["lm_points"])).all()
