@@ -1,0 +1,6 @@
+from densebox_tpu.train.loop import (  # noqa: F401
+    TrainState,
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)

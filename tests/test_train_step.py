@@ -1,0 +1,78 @@
+"""BASELINE config 4: single jitted training step — on-device GT generation +
+OHEM loss + backward; loss decreases on a synthetic set (SURVEY.md §5.3)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from densebox_tpu.config import DenseBoxConfig, LabelCfg, ModelCfg, TrainCfg
+from densebox_tpu.data import synthetic_batch
+from densebox_tpu.train import create_train_state, make_train_step
+
+
+def _cfg(landmarks=0, refine=False):
+    return DenseBoxConfig(
+        model=ModelCfg(num_landmarks=landmarks, use_refine=refine,
+                       width_mult=0.125),
+        label=LabelCfg(patch_size=64, std_height_px=20.0),
+        train=TrainCfg(batch_size=4, learning_rate=3e-3, max_boxes=3),
+    )
+
+
+def test_config4_single_train_step():
+    from densebox_tpu.models import DenseBox
+
+    cfg = _cfg()
+    model = DenseBox(cfg.model)
+    batch = synthetic_batch(jax.random.key(0), 4, cfg.label, max_boxes=3)
+    state = create_train_state(model, cfg, batch["image"])
+    step = jax.jit(make_train_step(model, cfg))
+    new_state, metrics = step(state, batch)
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["loss_total"]))
+    assert float(metrics["n_pos"]) > 0
+    for leaf in jax.tree.leaves(new_state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # params actually moved
+    moved = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        state.params, new_state.params)
+    assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_config4_loss_decreases_over_50_steps():
+    from densebox_tpu.models import DenseBox
+
+    cfg = _cfg(landmarks=4, refine=True)
+    model = DenseBox(cfg.model)
+    batch0 = synthetic_batch(jax.random.key(0), 4, cfg.label, max_boxes=3,
+                             num_landmarks=4)
+    state = create_train_state(model, cfg, batch0["image"])
+    step = jax.jit(make_train_step(model, cfg))
+    losses = []
+    for i in range(50):
+        batch = synthetic_batch(jax.random.key(i), 4, cfg.label, max_boxes=3,
+                                num_landmarks=4)
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss_total"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < 0.6 * np.mean(losses[:10]), losses
+
+
+def test_train_step_deterministic():
+    from densebox_tpu.models import DenseBox
+
+    cfg = _cfg()
+    model = DenseBox(cfg.model)
+    batch = synthetic_batch(jax.random.key(0), 4, cfg.label, max_boxes=3)
+    step = jax.jit(make_train_step(model, cfg))
+    s1 = create_train_state(model, cfg, batch["image"])
+    s2 = create_train_state(model, cfg, batch["image"])
+    o1, m1 = step(s1, batch)
+    o2, m2 = step(s2, batch)
+    assert float(m1["loss_total"]) == float(m2["loss_total"])
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        o1.params, o2.params)
+    assert max(jax.tree.leaves(diffs)) == 0.0
