@@ -1,0 +1,102 @@
+"""Benchmark harness — dense 640x480 inference images/sec/chip.
+
+Tracked metric + target from BASELINE.md: >=5,000 640x480 images/sec/chip
+dense inference on TPU v5e (BASELINE.json:5). Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Measurement methodology (important on this machine): the axon TPU tunnel has
+~25-30 ms round-trip latency per host sync, slow D2H bandwidth, and a
+block_until_ready that does NOT actually block. So the timed region chains
+ITERS full pipeline invocations inside ONE jitted fori_loop (inputs perturbed
+per iteration to defeat CSE) and syncs on a single scalar readback; the
+tunnel round-trip is paid once and amortized.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--width-mult", type=float, default=1.0)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--iters", type=int, default=8,
+                    help="pipeline invocations chained inside the jit")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="timed repeats; min is reported")
+    ap.add_argument("--scales", default="1.0",
+                    help="comma-separated pyramid scales")
+    ap.add_argument("--landmarks", type=int, default=0)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shapes for CPU smoke testing")
+    args = ap.parse_args()
+
+    from densebox_tpu.config import InferCfg, LabelCfg, ModelCfg
+    from densebox_tpu.infer import detect_batch
+    from densebox_tpu.models import DenseBox
+
+    h, w = (96, 128) if args.smoke else (480, 640)
+    batch = 2 if args.smoke else args.batch
+    wm = 0.125 if args.smoke else args.width_mult
+    iters = 2 if args.smoke else args.iters
+
+    cfg = ModelCfg(num_landmarks=args.landmarks,
+                   use_refine=args.landmarks > 0,
+                   width_mult=wm, compute_dtype=args.dtype)
+    model = DenseBox(cfg)
+    icfg = InferCfg(scales=tuple(float(s) for s in args.scales.split(",")),
+                    score_thresh=0.5, topk_per_scale=256, max_dets=128)
+    lcfg = LabelCfg()
+
+    dtype = jnp.dtype(args.dtype)
+    images = jax.random.uniform(jax.random.key(0), (batch, h, w, 3), dtype)
+    params = model.init(jax.random.key(1),
+                        jnp.zeros((1, 64, 64, 3), jnp.float32))
+    params = jax.device_put(params)
+
+    @jax.jit
+    def pipeline_loop(p, x):
+        def body(i, acc):
+            xi = x + i.astype(dtype) * jnp.asarray(1e-6, dtype)
+            out = detect_batch(model, p, xi, icfg, lcfg)
+            return acc + out["scores"][0, 0]
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    t_c0 = time.perf_counter()
+    float(pipeline_loop(params, images))  # compile + warm (scalar sync)
+    compile_s = time.perf_counter() - t_c0
+
+    best = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        float(pipeline_loop(params, images))
+        best = min(best, time.perf_counter() - t0)
+
+    img_s = batch * iters / best
+    info = {
+        "device": str(jax.devices()[0]),
+        "batch": batch, "hw": [h, w], "width_mult": wm,
+        "dtype": args.dtype, "scales": icfg.scales, "iters": iters,
+        "compile_s": round(compile_s, 1),
+        "ms_per_image": round(1e3 * best / (batch * iters), 3),
+    }
+    print(json.dumps(info), file=sys.stderr)
+    print(json.dumps({
+        "metric": "640x480 images/sec/chip (dense inference, full "
+                  "decode+NMS pipeline)",
+        "value": round(img_s, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_s / 5000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

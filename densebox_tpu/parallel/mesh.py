@@ -1,0 +1,126 @@
+"""Mesh / PartitionSpec policy — the framework's scheduler+comm layer.
+
+The reference is single-process single-GPU with no distributed layer at all
+(SURVEY.md §3.3); the rebuild's obligation is data-parallel batches over a
+TPU mesh (BASELINE config 5) with the API shaped for a 2-D ('data', 'model')
+mesh so tensor-parallel head sharding can be enabled without code changes.
+
+There is no hand-written transport: shardings are declared via
+jax.sharding.NamedSharding and XLA:TPU emits the collectives (gradient psum
+over ICI for DP; all-gathers for TP-sharded channels). `jax.distributed` +
+the same mesh covers multi-host; axis order ('data' outermost) keeps DP
+traffic on ICI rings.
+
+Tensor parallelism policy (optional, off by default): 1x1 head convs carry
+most non-trunk parameters; their kernels shard on the *output-channel* dim
+for `{prefix}_conv1` (activation stays sharded channel-wise through the
+elementwise ReLU/dropout) and XLA re-gathers at the tiny `_conv2`
+projection. At DenseBox scale (~15M params) this is never required — it
+exists to prove the mesh API end-to-end (SURVEY.md §3.3 "TP: design-for").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from densebox_tpu.config import DenseBoxConfig
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a ('data', 'model') mesh over the given (default: all) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        assert len(devices) % n_model == 0
+        n_data = len(devices) // n_model
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch tensors shard their leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh) -> Dict[str, jax.Array]:
+    s = batch_sharding(mesh)
+    return {k: jax.device_put(v, s) for k, v in batch.items()}
+
+
+def param_shardings(params: Any, mesh: Mesh, tensor_parallel: bool = False):
+    """Sharding tree for params: replicated by default; with
+    ``tensor_parallel``, head `_conv1` kernels/biases shard output channels
+    over the model axis."""
+    repl = NamedSharding(mesh, P())
+
+    def rule(path, leaf):
+        if tensor_parallel and mesh.shape[MODEL_AXIS] > 1:
+            names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+            if any(str(n).endswith("_conv1") for n in names):
+                if leaf.ndim == 4:   # conv kernel HWIO: shard O
+                    return NamedSharding(mesh, P(None, None, None, MODEL_AXIS))
+                if leaf.ndim == 1:   # bias
+                    return NamedSharding(mesh, P(MODEL_AXIS))
+        return repl
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def state_shardings(state: Any, mesh: Mesh, tensor_parallel: bool = False):
+    """Sharding tree for a TrainState: params/opt_state follow the param
+    policy (optimizer momentum mirrors its param), scalars replicated."""
+    p_sh = param_shardings(state.params, mesh, tensor_parallel)
+    repl = NamedSharding(mesh, P())
+
+    # optax.sgd momentum (TraceState) holds a params-shaped pytree; map any
+    # leaf whose shape matches a param leaf to that param's sharding.
+    flat_params = {
+        tuple(str(getattr(p, "key", getattr(p, "name", ""))) for p in path): sh
+        for path, sh in jax.tree_util.tree_flatten_with_path(p_sh)[0]}
+
+    def opt_rule(path, leaf):
+        names = tuple(str(getattr(p, "key", getattr(p, "name", "")))
+                      for p in path)
+        for pnames, sh in flat_params.items():
+            if names[-len(pnames):] == pnames:
+                return sh
+        return repl
+
+    opt_sh = jax.tree_util.tree_map_with_path(opt_rule, state.opt_state)
+    return state.replace(step=repl, params=p_sh, opt_state=opt_sh, key=repl)
+
+
+def make_sharded_train_step(model, cfg: DenseBoxConfig, mesh: Mesh,
+                            state: Any, tensor_parallel: bool = False):
+    """Jit the train step over the mesh: batch sharded on 'data', params
+    replicated (or TP-sharded); XLA inserts the gradient psum over ICI.
+
+    Returns (sharded_step, place_state, place_batch) where the placers move
+    host state/batches onto the mesh with the right shardings.
+    """
+    from densebox_tpu.train.loop import make_train_step
+
+    st_sh = state_shardings(state, mesh, tensor_parallel)
+    b_sh = batch_sharding(mesh)
+
+    step = jax.jit(
+        make_train_step(model, cfg),
+        # b_sh is a pytree *prefix*: every batch leaf shards its leading dim
+        in_shardings=(st_sh, b_sh),
+        out_shardings=(st_sh, NamedSharding(mesh, P())),
+    )
+
+    def place_state(s):
+        return jax.device_put(s, st_sh)
+
+    def place_batch(b):
+        return {k: jax.device_put(v, b_sh) for k, v in b.items()}
+
+    return step, place_state, place_batch

@@ -1,0 +1,88 @@
+"""BASELINE config 5 correctness (SURVEY.md §5.4): the 8-fake-device DP train
+step produces the SAME parameters as the single-device step on the same
+global batch, and TP sharding compiles + matches too."""
+
+import jax
+import numpy as np
+import pytest
+
+from densebox_tpu.config import DenseBoxConfig, LabelCfg, ModelCfg, TrainCfg
+from densebox_tpu.data import synthetic_batch
+from densebox_tpu.models import DenseBox
+from densebox_tpu.parallel import make_mesh, make_sharded_train_step
+from densebox_tpu.train import create_train_state, make_train_step
+
+
+def _setup(batch=8):
+    cfg = DenseBoxConfig(
+        model=ModelCfg(width_mult=0.125),
+        label=LabelCfg(patch_size=64, std_height_px=20.0),
+        train=TrainCfg(batch_size=batch, learning_rate=1e-2, max_boxes=3))
+    model = DenseBox(cfg.model)
+    b = synthetic_batch(jax.random.key(0), batch, cfg.label, max_boxes=3)
+    state = create_train_state(model, cfg, b["image"][:1])
+    return cfg, model, b, state
+
+
+def _max_diff(a, b):
+    return max(jax.tree.leaves(jax.tree.map(
+        lambda x, y: float(np.abs(np.asarray(x) - np.asarray(y)).max()),
+        a, b)))
+
+
+def test_dp_matches_single_device():
+    cfg, model, batch, state = _setup()
+
+    single = jax.jit(make_train_step(model, cfg))
+    s_ref, m_ref = single(state, batch)
+
+    mesh = make_mesh()  # 8 fake CPU devices x 1 model
+    assert mesh.shape == {"data": 8, "model": 1}
+    step, place_state, place_batch = make_sharded_train_step(
+        model, cfg, mesh, state)
+    s_dp, m_dp = step(place_state(state), place_batch(batch))
+
+    assert _max_diff(s_ref.params, s_dp.params) < 2e-6
+    assert abs(float(m_ref["loss_total"]) - float(m_dp["loss_total"])) < 1e-5
+
+
+def test_dp_multi_step_stays_in_sync():
+    cfg, model, batch, state = _setup()
+    mesh = make_mesh()
+    step, place_state, place_batch = make_sharded_train_step(
+        model, cfg, mesh, state)
+    s = place_state(state)
+    for i in range(3):
+        b = place_batch(
+            synthetic_batch(jax.random.key(i), 8, cfg.label, max_boxes=3))
+        s, m = step(s, b)
+        assert np.isfinite(float(m["loss_total"]))
+    assert int(s.step) == 3
+    # params remain fully replicated (addressable shards identical)
+    leaf = jax.tree.leaves(s.params)[0]
+    shards = [np.asarray(sh.data) for sh in leaf.addressable_shards]
+    for sh in shards[1:]:
+        np.testing.assert_array_equal(shards[0], sh)
+
+
+def test_tensor_parallel_2d_mesh_matches():
+    cfg, model, batch, state = _setup(batch=4)
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+
+    single = jax.jit(make_train_step(model, cfg))
+    s_ref, _ = single(state, batch)
+
+    step, place_state, place_batch = make_sharded_train_step(
+        model, cfg, mesh, state, tensor_parallel=True)
+    s_tp, _ = step(place_state(state), place_batch(batch))
+    assert _max_diff(s_ref.params, s_tp.params) < 2e-6
+
+
+def test_uneven_batch_rejected():
+    cfg, model, batch, state = _setup(batch=6)  # 6 % 8 != 0
+    mesh = make_mesh()
+    step, place_state, place_batch = make_sharded_train_step(
+        model, cfg, mesh, state)
+    with pytest.raises(ValueError):
+        place_batch(batch)
