@@ -1,0 +1,184 @@
+"""CLI (SURVEY.md C13): ``densebox train ...`` / ``densebox detect ...`` —
+the reference's public train/detect API surface (BASELINE.json:5), argparse
+entry points over the framework.
+
+  python -m densebox_tpu.cli train --synthetic --workdir /tmp/run --steps 200
+  python -m densebox_tpu.cli train --data-dir <kitti_root> --workdir run
+  python -m densebox_tpu.cli detect --workdir run --image a.png --out out/
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import json
+import os
+import sys
+
+
+
+def _build_cfg(args) -> "DenseBoxConfig":
+    from densebox_tpu.config import (DenseBoxConfig, LabelCfg, ModelCfg,
+                                     TrainCfg)
+
+    return DenseBoxConfig(
+        model=ModelCfg(num_landmarks=args.landmarks,
+                       use_refine=args.landmarks > 0,
+                       width_mult=args.width_mult,
+                       compute_dtype=args.dtype),
+        label=LabelCfg(patch_size=args.patch_size,
+                       std_height_px=args.std_height),
+        train=TrainCfg(batch_size=args.batch_size,
+                       learning_rate=args.lr,
+                       num_steps=args.steps,
+                       max_boxes=args.max_boxes,
+                       ckpt_every=args.ckpt_every,
+                       log_every=args.log_every,
+                       seed=args.seed))
+
+
+def _synthetic_canvas_batches(cfg):
+    """Step-keyed synthetic full-image batches (network-free training;
+    step-keyed so --resume is bit-exact)."""
+    import jax
+
+    from densebox_tpu.data import synthetic_batch
+
+    canvas = 4 * cfg.label.patch_size
+    canvas_cfg = type(cfg.label)(
+        patch_size=canvas, std_height_px=cfg.label.std_height_px,
+        stride=cfg.label.stride)
+
+    def fetch(step: int) -> dict:
+        return synthetic_batch(jax.random.key(step), cfg.train.batch_size,
+                               canvas_cfg, max_boxes=cfg.train.max_boxes,
+                               num_landmarks=cfg.model.num_landmarks)
+
+    return fetch
+
+
+def cmd_train(args) -> int:
+    from densebox_tpu.train import fit
+
+    cfg = _build_cfg(args)
+    if args.debug_nans:
+        from densebox_tpu.utils.logging import enable_debug_checks
+
+        enable_debug_checks()
+
+    if args.synthetic:
+        batches = _synthetic_canvas_batches(cfg)
+    else:
+        from densebox_tpu.data.kitti import load_dataset
+        from densebox_tpu.data.pipeline import PrefetchLoader
+
+        samples = load_dataset(os.path.join(args.data_dir, "image_2"),
+                               os.path.join(args.data_dir, "label_2"))
+        print(f"loaded {len(samples)} samples from {args.data_dir}")
+        loader = PrefetchLoader(samples, cfg.train.batch_size,
+                                canvas_hw=tuple(args.canvas),
+                                max_boxes=cfg.train.max_boxes,
+                                seed=cfg.train.seed)
+        batches = iter(loader)
+
+    from densebox_tpu.utils.logging import maybe_profile
+
+    with maybe_profile(f"{args.workdir}/profile" if args.profile else None):
+        result = fit(cfg, batches, workdir=args.workdir,
+                     num_steps=args.steps, resume=not args.no_resume)
+    print(f"done at step {int(result.state.step)}: "
+          f"{json.dumps(result.last_metrics)}")
+    return 0
+
+
+def cmd_detect(args) -> int:
+    import cv2
+    import jax.numpy as jnp
+    import numpy as np
+
+    from densebox_tpu.config import InferCfg
+    from densebox_tpu.infer import make_detect_fn
+    from densebox_tpu.models import DenseBox
+    from densebox_tpu.train.checkpoint import load_for_inference
+    from densebox_tpu.utils.viz import draw_detections, save_image
+
+    cfg, params = load_for_inference(os.path.join(args.workdir, "ckpt"))
+    infer_model_cfg = cfg.model if args.dtype is None else \
+        type(cfg.model)(**{**cfg.model.__dict__, "compute_dtype": args.dtype})
+    model = DenseBox(infer_model_cfg)
+    icfg = InferCfg(scales=tuple(float(s) for s in args.scales.split(",")),
+                    score_thresh=args.thresh, nms_iou=args.nms_iou,
+                    max_dets=args.max_dets)
+    detect = make_detect_fn(model, icfg, cfg.label)
+
+    os.makedirs(args.out, exist_ok=True)
+    for path in args.image:
+        img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        h, w = img.shape[:2]
+        m = cfg.model.min_divisor
+        ph, pw = -h % m, -w % m
+        padded = np.pad(img, ((0, ph), (0, pw), (0, 0)))
+        x = jnp.asarray(padded, jnp.float32)[None] / 255.0
+        out = detect(params, x)
+        dets = {k: np.asarray(v) for k, v in out.items()}
+        n = int(dets["valid"][0].sum())
+        print(f"{path}: {n} detections")
+        for i in np.nonzero(dets["valid"][0])[0]:
+            print("  box=%s score=%.3f" % (
+                np.round(dets["boxes"][0, i], 1).tolist(),
+                dets["scores"][0, i]))
+        vis = draw_detections(img, dets)
+        out_path = os.path.join(args.out, os.path.basename(path))
+        save_image(out_path, vis)
+        print(f"  wrote {out_path}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="densebox")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train a DenseBox detector")
+    t.add_argument("--data-dir", help="KITTI-style root (image_2/, label_2/)")
+    t.add_argument("--synthetic", action="store_true",
+                   help="train on the procedural rectangle set")
+    t.add_argument("--workdir", required=True)
+    t.add_argument("--steps", type=int, default=10000)
+    t.add_argument("--batch-size", type=int, default=32)
+    t.add_argument("--lr", type=float, default=1e-3)
+    t.add_argument("--width-mult", type=float, default=1.0)
+    t.add_argument("--dtype", default="float32")
+    t.add_argument("--patch-size", type=int, default=240)
+    t.add_argument("--std-height", type=float, default=50.0)
+    t.add_argument("--landmarks", type=int, default=0)
+    t.add_argument("--max-boxes", type=int, default=16)
+    t.add_argument("--canvas", type=int, nargs=2, default=(384, 1248),
+                   help="host canvas H W for full images")
+    t.add_argument("--ckpt-every", type=int, default=1000)
+    t.add_argument("--log-every", type=int, default=50)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--no-resume", action="store_true")
+    t.add_argument("--profile", action="store_true")
+    t.add_argument("--debug-nans", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    d = sub.add_parser("detect", help="run detection on images")
+    d.add_argument("--workdir", required=True)
+    d.add_argument("--image", nargs="+", required=True)
+    d.add_argument("--out", default="detections")
+    d.add_argument("--scales", default="0.5,0.7071,1.0,1.4142")
+    d.add_argument("--thresh", type=float, default=0.5)
+    d.add_argument("--nms-iou", type=float, default=0.5)
+    d.add_argument("--max-dets", type=int, default=128)
+    d.add_argument("--dtype", default=None,
+                   help="override inference compute dtype (e.g. bfloat16)")
+    d.set_defaults(fn=cmd_detect)
+
+    args = p.parse_args(argv)
+    if args.cmd == "train" and not (args.synthetic or args.data_dir):
+        p.error("train requires --data-dir or --synthetic")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,110 @@
+"""Host input pipeline: decode + canvas-pad full images, prefetch to device
+(SURVEY.md C8).
+
+The reference uses torch DataLoader worker processes that ALSO rasterize GT
+on the host — its CPU bottleneck (SURVEY.md §4.1). Here host workers only
+read + pad images (cheap), while patch sampling, augmentation and GT
+rasterization run on device (data/patches.py, ops/labels.py). A small
+thread pool + double-buffered device prefetch replaces worker processes; at
+DenseBox image sizes the host side is comfortably faster than the TPU step,
+so a heavier framework (grain) would add dependency risk for no throughput
+(grain remains a drop-in option since batches are plain dicts of arrays).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from densebox_tpu.data.kitti import Sample
+
+
+def _imread(path: str) -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def canvas_batch(samples: Sequence[Sample], canvas_hw: Tuple[int, int],
+                 max_boxes: int) -> dict:
+    """Load + zero-pad images onto a fixed canvas; pad box tensors.
+    Images larger than the canvas are downscaled to fit (boxes follow)."""
+    import cv2
+
+    hc, wc = canvas_hw
+    b = len(samples)
+    images = np.zeros((b, hc, wc, 3), np.float32)
+    boxes = np.zeros((b, max_boxes, 4), np.float32)
+    valid = np.zeros((b, max_boxes), bool)
+    for i, s in enumerate(samples):
+        img = _imread(s.image_path).astype(np.float32) / 255.0
+        h, w = img.shape[:2]
+        f = min(1.0, hc / h, wc / w)
+        if f < 1.0:
+            img = cv2.resize(img, (int(w * f), int(h * f)),
+                             interpolation=cv2.INTER_AREA)
+            h, w = img.shape[:2]
+        images[i, :h, :w] = img
+        n = min(len(s.boxes), max_boxes)
+        if n:
+            boxes[i, :n] = s.boxes[:n] * f
+            valid[i, :n] = True
+    return {"image": images, "boxes": boxes, "box_valid": valid}
+
+
+class PrefetchLoader:
+    """Epoch-shuffling batch iterator with a background producer thread and
+    device prefetch (depth-2 pipeline: host IO overlaps the device step)."""
+
+    def __init__(self, samples: List[Sample], batch_size: int,
+                 canvas_hw: Tuple[int, int], max_boxes: int,
+                 seed: int = 0, prefetch: int = 2,
+                 sharding: Optional[jax.sharding.Sharding] = None):
+        self.samples = samples
+        self.batch_size = batch_size
+        self.canvas_hw = canvas_hw
+        self.max_boxes = max_boxes
+        self.rng = np.random.RandomState(seed)
+        self.prefetch = prefetch
+        self.sharding = sharding
+
+    def _producer(self, q: "queue.Queue", stop: threading.Event) -> None:
+        while not stop.is_set():
+            order = self.rng.permutation(len(self.samples))
+            for i in range(0, len(order) - self.batch_size + 1,
+                           self.batch_size):
+                batch = canvas_batch(
+                    [self.samples[j] for j in order[i:i + self.batch_size]],
+                    self.canvas_hw, self.max_boxes)
+                if self.sharding is not None:
+                    batch = {k: jax.device_put(v, self.sharding)
+                             for k, v in batch.items()}
+                else:
+                    batch = {k: jax.device_put(v) for k, v in batch.items()}
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+
+    def __iter__(self) -> Iterator[dict]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        t = threading.Thread(target=self._producer, args=(q, stop),
+                             daemon=True)
+        t.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()

@@ -4,3 +4,4 @@ from densebox_tpu.train.loop import (  # noqa: F401
     make_optimizer,
     make_train_step,
 )
+from densebox_tpu.train.trainer import fit, make_canvas_train_step  # noqa: F401

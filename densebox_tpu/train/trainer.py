@@ -1,0 +1,140 @@
+"""Training driver (SURVEY.md C9; BASELINE config 5 "full detection training
+run, data-parallel batches over a TPU mesh").
+
+One jitted mega-step = on-device patch sampling + GT rasterization + forward
++ OHEM loss + backward + SGD. The driver adds: data-parallel mesh placement,
+periodic orbax checkpoints with exact resume, metric logging, optional
+profiler capture. Host work is image IO only (data/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+
+from densebox_tpu.config import DenseBoxConfig
+from densebox_tpu.data.patches import sample_patches
+from densebox_tpu.models import DenseBox
+from densebox_tpu.ops.labels import rasterize_batch
+from densebox_tpu.ops.ohem import densebox_loss
+from densebox_tpu.train import checkpoint as ckpt_lib
+from densebox_tpu.train.loop import (TrainState, create_train_state,
+                                     make_optimizer)
+from densebox_tpu.utils.logging import MetricsLogger
+
+
+def make_canvas_train_step(model: DenseBox, cfg: DenseBoxConfig,
+                           sample_from_canvas: bool = True) -> Callable:
+    """Train step taking either raw canvas batches (full images + boxes;
+    patches sampled on device) or pre-cropped patch batches."""
+    tx = make_optimizer(cfg)
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array]
+                   ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        step_key = jax.random.fold_in(state.key, state.step)
+        k_patch, k_drop, k_loss = jax.random.split(step_key, 3)
+
+        if sample_from_canvas:
+            batch = sample_patches(
+                k_patch, batch["image"], batch["boxes"], batch["box_valid"],
+                cfg.label, landmarks=batch.get("landmarks"))
+
+        gts = rasterize_batch(
+            batch["boxes"], batch["box_valid"], cfg.label,
+            batch.get("landmarks"), batch.get("lm_valid"))
+
+        def loss_fn(params):
+            out = model.apply(params, batch["image"], train=True,
+                              rngs={"dropout": k_drop})
+            return densebox_loss(out, gts, k_loss, cfg.loss)
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), metrics
+
+    return train_step
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: TrainState
+    last_metrics: Dict[str, float]
+
+
+def fit(
+    cfg: DenseBoxConfig,
+    batches,
+    workdir: Optional[str] = None,
+    *,
+    num_steps: Optional[int] = None,
+    sample_from_canvas: bool = True,
+    use_mesh: bool = True,
+    resume: bool = True,
+    init_state: Optional[TrainState] = None,
+) -> FitResult:
+    """Run the training loop.
+
+    ``batches`` is either an iterator of canvas dicts, or a callable
+    ``step -> batch`` (step-keyed streams make resume bit-exact, since the
+    data consumed at step N is identical across interrupted and
+    uninterrupted runs). Mesh DP engages automatically when more than one
+    device is visible.
+    """
+    model = DenseBox(cfg.model)
+    num_steps = num_steps or cfg.train.num_steps
+    fetch = batches if callable(batches) else (lambda _step: next(batches))
+
+    first = fetch(0)
+    state = init_state or create_train_state(model, cfg, first["image"][:1])
+
+    mngr = logger = None
+    if workdir:
+        mngr = ckpt_lib.make_manager(f"{workdir}/ckpt", cfg.train.ckpt_keep)
+        logger = MetricsLogger(f"{workdir}/tb")
+        if resume:
+            restored = ckpt_lib.restore_checkpoint(mngr, state)
+            if restored is not None:
+                state = restored[0]
+                print(f"resumed from step {int(state.step)}", flush=True)
+
+    raw_step = make_canvas_train_step(model, cfg, sample_from_canvas)
+
+    place_batch = lambda b: b  # noqa: E731
+    if use_mesh and len(jax.devices()) > 1:
+        from densebox_tpu.parallel import (batch_sharding, make_mesh,
+                                           state_shardings)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh(n_model=1)
+        st_sh = state_shardings(state, mesh)
+        b_sh = batch_sharding(mesh)
+        step_fn = jax.jit(raw_step, in_shardings=(st_sh, b_sh),
+                          out_shardings=(st_sh, NamedSharding(mesh, P())))
+        state = jax.device_put(state, st_sh)
+        place_batch = lambda b: {  # noqa: E731
+            k: jax.device_put(v, b_sh) for k, v in b.items()}
+    else:
+        step_fn = jax.jit(raw_step)
+
+    last: Dict[str, float] = {}
+    start = int(state.step)
+    batch = first if start == 0 else fetch(start)
+    while int(state.step) < num_steps:
+        state, metrics = step_fn(state, place_batch(batch))
+        step = int(state.step)
+        if logger and (step % cfg.train.log_every == 0 or step == num_steps):
+            last = logger.log(step, metrics)
+        elif step == num_steps:
+            last = {k: float(v) for k, v in metrics.items()}
+        if mngr and (step % cfg.train.ckpt_every == 0 or step == num_steps):
+            ckpt_lib.save_checkpoint(mngr, state, cfg)
+        if step < num_steps:
+            batch = fetch(step)
+    if mngr:
+        mngr.wait_until_finished()
+    return FitResult(state=state, last_metrics=last)

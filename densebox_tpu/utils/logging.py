@@ -1,0 +1,64 @@
+"""Metrics / observability (SURVEY.md §6 "Metrics / logging").
+
+The reference prints loss to the console. Here: structured per-step metric
+dicts go to the console AND (when tensorflow is importable) TensorBoard
+scalars; jax.profiler traces can be captured around any step window for the
+TensorBoard profile plugin.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Optional
+
+import jax
+
+
+class MetricsLogger:
+    def __init__(self, logdir: Optional[str] = None):
+        self._writer = None
+        if logdir:
+            try:
+                import tensorflow as tf  # baked in this env
+
+                self._writer = tf.summary.create_file_writer(logdir)
+            except Exception:  # pragma: no cover - tf optional
+                self._writer = None
+        self._t_last = time.perf_counter()
+        self._step_last = 0
+
+    def log(self, step: int, metrics: Dict[str, jax.Array],
+            prefix: str = "train") -> Dict[str, float]:
+        vals = {k: float(v) for k, v in metrics.items()}
+        now = time.perf_counter()
+        if step > self._step_last:
+            vals["steps_per_sec"] = ((step - self._step_last) /
+                                     max(now - self._t_last, 1e-9))
+        self._t_last, self._step_last = now, step
+        if self._writer is not None:
+            import tensorflow as tf
+
+            with self._writer.as_default():
+                for k, v in vals.items():
+                    tf.summary.scalar(f"{prefix}/{k}", v, step=step)
+        msg = " ".join(f"{k}={v:.4g}" for k, v in sorted(vals.items()))
+        print(f"[{prefix} step {step}] {msg}", flush=True)
+        return vals
+
+
+@contextlib.contextmanager
+def maybe_profile(logdir: Optional[str]):
+    """jax.profiler trace window -> TensorBoard profile plugin."""
+    if not logdir:
+        yield
+        return
+    with jax.profiler.trace(logdir):
+        yield
+
+
+def enable_debug_checks() -> None:
+    """Debug mode (SURVEY.md §6 "race detection/sanitizers" row): NaN checks
+    on every jitted computation + eager fallback available via
+    JAX_DISABLE_JIT=1."""
+    jax.config.update("jax_debug_nans", True)
