@@ -1,0 +1,85 @@
+"""Pallas kernels must match their pure-jax twins exactly (interpret mode on
+CPU; the same kernels compile for TPU — exercised by bench/TPU runs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from densebox_tpu.config import LabelCfg
+from densebox_tpu.ops.labels import rasterize_batch
+from densebox_tpu.ops.nms import nms
+from densebox_tpu.ops.pallas import nms_pallas, rasterize_batch_pallas
+
+
+def _small_cfg():
+    return LabelCfg(patch_size=64, std_height_px=20.0)
+
+
+def _rand_instances(seed, b=3, k=4, num_lm=0):
+    rng = np.random.RandomState(seed)
+    cfg = _small_cfg()
+    ps = cfg.patch_size
+    ctr = rng.uniform(8, ps - 8, (b, k, 2))
+    hgt = rng.uniform(0.5 * cfg.std_height_px, 1.6 * cfg.std_height_px, (b, k))
+    wid = hgt * rng.uniform(0.7, 1.3, (b, k))
+    boxes = np.stack([ctr[..., 0] - wid / 2, ctr[..., 1] - hgt / 2,
+                      ctr[..., 0] + wid / 2, ctr[..., 1] + hgt / 2],
+                     -1).astype(np.float32)
+    valid = rng.rand(b, k) > 0.25
+    lms = lmv = None
+    if num_lm:
+        off = rng.uniform(-0.3, 0.3, (b, k, num_lm, 2))
+        lms = (ctr[:, :, None, :] +
+               off * np.stack([wid, hgt], -1)[:, :, None, :]).astype(np.float32)
+        lmv = rng.rand(b, k, num_lm) > 0.2
+    return boxes, valid, lms, lmv
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("num_lm", [0, 3])
+def test_pallas_rasterizer_matches_jax(seed, num_lm):
+    cfg = _small_cfg()
+    boxes, valid, lms, lmv = _rand_instances(seed, num_lm=num_lm)
+    args = (jnp.asarray(boxes), jnp.asarray(valid), cfg,
+            None if lms is None else jnp.asarray(lms),
+            None if lmv is None else jnp.asarray(lmv))
+    want = rasterize_batch(*args)
+    got = jax.jit(
+        lambda b, v, l, lv: rasterize_batch_pallas(b, v, cfg, l, lv),
+        static_argnames=())(args[0], args[1], args[3], args[4]) \
+        if num_lm else jax.jit(
+        lambda b, v: rasterize_batch_pallas(b, v, cfg))(args[0], args[1])
+    assert set(got) == set(want)
+    for key in want:
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(want[key]), atol=1e-5,
+            err_msg=f"pallas rasterizer '{key}' diverged (seed={seed})")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pallas_nms_matches_jax(seed):
+    rng = np.random.RandomState(seed)
+    n = 64
+    ctr = rng.uniform(20, 200, (n, 2))
+    wh = rng.uniform(10, 60, (n, 2))
+    boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], -1).astype(np.float32)
+    scores = rng.uniform(0.1, 1.0, n).astype(np.float32)
+    valid = rng.rand(n) > 0.2
+
+    want = nms(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+               iou_thresh=0.5, max_out=n)
+    got = jax.jit(lambda b, s, v: nms_pallas(
+        b, s, v, iou_thresh=0.5, max_out=n))(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid))
+    for a, b_, name in zip(got, want, ("boxes", "scores", "valid")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6,
+                                   err_msg=f"pallas nms '{name}' diverged")
+
+
+def test_pallas_nms_empty_input():
+    boxes = jnp.zeros((16, 4))
+    scores = jnp.zeros((16,))
+    valid = jnp.zeros((16,), bool)
+    _, _, v = nms_pallas(boxes, scores, valid, iou_thresh=0.5, max_out=8)
+    assert not np.asarray(v).any()
