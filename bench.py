@@ -35,6 +35,9 @@ def main() -> None:
     ap.add_argument("--scales", default="1.0",
                     help="comma-separated pyramid scales")
     ap.add_argument("--landmarks", type=int, default=0)
+    ap.add_argument("--preset", default="paper", choices=["paper", "fast"],
+                    help="paper = exact DenseBox (parity config); fast = "
+                         "s2d stem + depth-3 trunk + width 0.5 (production)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes for CPU smoke testing")
     args = ap.parse_args()
@@ -48,9 +51,14 @@ def main() -> None:
     wm = 0.125 if args.smoke else args.width_mult
     iters = 2 if args.smoke else args.iters
 
+    fast = args.preset == "fast" and not args.smoke
+    if fast and args.width_mult == 1.0:
+        wm = 0.5
     cfg = ModelCfg(num_landmarks=args.landmarks,
                    use_refine=args.landmarks > 0,
-                   width_mult=wm, compute_dtype=args.dtype)
+                   width_mult=wm, compute_dtype=args.dtype,
+                   stem="s2d" if fast else "conv",
+                   trunk_depth=3 if fast else 4)
     model = DenseBox(cfg)
     icfg = InferCfg(scales=tuple(float(s) for s in args.scales.split(",")),
                     score_thresh=0.5, topk_per_scale=256, max_dets=128)
@@ -83,6 +91,7 @@ def main() -> None:
     img_s = batch * iters / best
     info = {
         "device": str(jax.devices()[0]),
+        "preset": args.preset,
         "batch": batch, "hw": [h, w], "width_mult": wm,
         "dtype": args.dtype, "scales": icfg.scales, "iters": iters,
         "compile_s": round(compile_s, 1),

@@ -32,6 +32,13 @@ class ModelCfg:
     num_landmarks: int = 0          # N per-landmark heatmap channels (paper §4)
     use_refine: bool = False        # refinement branch fusing score+landmarks (paper §4)
     width_mult: float = 1.0         # trunk/head channel multiplier
+    # Production-speed knobs (the paper config is stem='conv', depth=4).
+    # stem='s2d': space-to-depth(2) + two stride-2 convs replace the
+    #   full-resolution conv1 block + pool1 (identical strides/channels
+    #   downstream; the full-res stem is the measured utilization hole).
+    # trunk_depth=3: VGG16-style 3-conv conv3/conv4 blocks instead of 4.
+    stem: str = "conv"              # 'conv' (paper) | 's2d' (fast)
+    trunk_depth: int = 4            # convs per conv3/conv4 block (4=VGG19)
     head_width: int = 512           # 1x1 conv width in det/loc/lm heads (paper §3.2)
     refine_width: int = 64          # conv width in the refinement branch
     dropout_rate: float = 0.5       # dropout between head convs (paper §3.2)
@@ -102,6 +109,7 @@ class InferCfg:
     topk_per_scale: int = 256       # fixed-shape candidate extraction (no dynamic shapes)
     max_dets: int = 128             # final detections after cross-scale NMS
     pad_multiple: int = 8           # input spatial padding granularity
+    nms_backend: str = "auto"       # 'jax' | 'pallas' | 'auto' (pallas on TPU)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -120,6 +128,7 @@ class TrainCfg:
     ckpt_every: int = 1000
     ckpt_keep: int = 3
     log_every: int = 50
+    label_backend: str = "auto"     # GT rasterizer: 'jax' | 'pallas' | 'auto'
 
 
 @dataclasses.dataclass(frozen=True)

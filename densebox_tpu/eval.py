@@ -1,0 +1,115 @@
+"""Evaluation harness: detection AP and heatmap fidelity (the tracked
+metrics, BASELINE.json:2 "heatmap MSE + mAP parity"; SURVEY.md §5.5).
+
+The reference validates by eyeballing loss curves and qualitative images; the
+rebuild gets a real harness: VOC-style average precision over padded
+detection/GT tensors, plus per-pixel heatmap MSE between two models' dense
+outputs (used by the parity tests against the torch oracle). Matching runs
+on the host (numpy) — eval is not a hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Tuple
+
+import numpy as np
+
+
+def _iou_one_to_many(box: np.ndarray, others: np.ndarray) -> np.ndarray:
+    if len(others) == 0:
+        return np.zeros((0,), np.float32)
+    x1 = np.maximum(box[0], others[:, 0])
+    y1 = np.maximum(box[1], others[:, 1])
+    x2 = np.minimum(box[2], others[:, 2])
+    y2 = np.minimum(box[3], others[:, 3])
+    inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+    a = (box[2] - box[0]) * (box[3] - box[1])
+    b = (others[:, 2] - others[:, 0]) * (others[:, 3] - others[:, 1])
+    return inter / np.maximum(a + b - inter, 1e-9)
+
+
+def match_image(pred_boxes: np.ndarray, pred_scores: np.ndarray,
+                gt_boxes: np.ndarray, iou_thresh: float
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Greedy score-ordered matching for one image.
+    Returns (scores, is_tp) for every prediction."""
+    order = np.argsort(-pred_scores)
+    taken = np.zeros(len(gt_boxes), bool)
+    tp = np.zeros(len(order), bool)
+    for r, i in enumerate(order):
+        ious = _iou_one_to_many(pred_boxes[i], gt_boxes)
+        ious[taken] = -1.0
+        j = int(np.argmax(ious)) if len(ious) else -1
+        if j >= 0 and ious[j] >= iou_thresh:
+            taken[j] = True
+            tp[r] = True
+    return pred_scores[order], tp
+
+
+def average_precision(scores: np.ndarray, is_tp: np.ndarray,
+                      n_gt: int) -> float:
+    """VOC-continuous AP (area under the interpolated PR curve)."""
+    if n_gt == 0:
+        return float("nan")
+    if len(scores) == 0:
+        return 0.0
+    order = np.argsort(-scores)
+    tp = is_tp[order].astype(np.float64)
+    cum_tp = np.cumsum(tp)
+    recall = cum_tp / n_gt
+    precision = cum_tp / (np.arange(len(tp)) + 1)
+    # monotone-interpolated precision
+    precision = np.maximum.accumulate(precision[::-1])[::-1]
+    # integrate over recall deltas
+    r_prev = 0.0
+    ap = 0.0
+    for p, r in zip(precision, recall):
+        ap += p * (r - r_prev)
+        r_prev = r
+    return float(ap)
+
+
+def evaluate_detections(
+    per_image: Iterable[Dict[str, np.ndarray]],
+    iou_thresh: float = 0.5,
+) -> Dict[str, float]:
+    """per_image entries: {pred_boxes (P,4), pred_scores (P,),
+    gt_boxes (G,4)} with padding already stripped.
+    Returns {'ap': ..., 'n_gt': ..., 'n_pred': ...}."""
+    all_scores: List[np.ndarray] = []
+    all_tp: List[np.ndarray] = []
+    n_gt = n_pred = 0
+    for item in per_image:
+        s, tp = match_image(item["pred_boxes"], item["pred_scores"],
+                            item["gt_boxes"], iou_thresh)
+        all_scores.append(s)
+        all_tp.append(tp)
+        n_gt += len(item["gt_boxes"])
+        n_pred += len(s)
+    scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
+    tps = np.concatenate(all_tp) if all_tp else np.zeros(0, bool)
+    return {"ap": average_precision(scores, tps, n_gt),
+            "n_gt": float(n_gt), "n_pred": float(n_pred)}
+
+
+def detections_to_numpy(dets: Dict, gts_boxes: np.ndarray,
+                        gts_valid: np.ndarray) -> List[Dict[str, np.ndarray]]:
+    """Strip padding from a detect_batch output + padded GT tensors."""
+    out = []
+    boxes = np.asarray(dets["boxes"])
+    scores = np.asarray(dets["scores"])
+    valid = np.asarray(dets["valid"])
+    for i in range(boxes.shape[0]):
+        v = valid[i]
+        out.append({
+            "pred_boxes": boxes[i][v],
+            "pred_scores": scores[i][v],
+            "gt_boxes": np.asarray(gts_boxes[i])[np.asarray(gts_valid[i])],
+        })
+    return out
+
+
+def heatmap_mse(a: Dict, b: Dict) -> Dict[str, float]:
+    """Per-head mean-squared-error between two dense-output dicts."""
+    return {k: float(np.mean((np.asarray(a[k]) - np.asarray(b[k])) ** 2))
+            for k in a if k in b}

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from densebox_tpu.config import InferCfg, LabelCfg
 from densebox_tpu.ops.decode import decode_topk
-from densebox_tpu.ops.nms import nms
+from densebox_tpu.ops.nms import nms_dispatch
 
 
 def _round_up(x: int, m: int) -> int:
@@ -122,8 +122,9 @@ def detect_batch(
     valid = jnp.concatenate(all_valid, axis=1)
 
     def one_nms(bx, sc, vl):
-        return nms(bx, sc, vl, iou_thresh=infer_cfg.nms_iou,
-                   max_out=infer_cfg.max_dets)
+        return nms_dispatch(bx, sc, vl, iou_thresh=infer_cfg.nms_iou,
+                            max_out=infer_cfg.max_dets,
+                            backend=infer_cfg.nms_backend)
 
     boxes, scores, valid = jax.vmap(one_nms)(boxes, scores, valid)
     result = {"boxes": boxes, "scores": scores, "valid": valid}

@@ -42,7 +42,8 @@ def matmul_precision(dtype) -> lax.Precision:
 
 # (kind, name, base_width). The single source of truth for the trunk topology —
 # the torch parity oracle in tests/ walks this same plan so both frameworks
-# build byte-identical graphs. f3 is tapped at conv3_4, f4 at conv4_4.
+# build byte-identical graphs. f3 is tapped at the end of block 3 ('f3' tag),
+# f4 at the end of block 4.
 TRUNK_PLAN = (
     ("conv", "conv1_1", 64), ("conv", "conv1_2", 64), ("pool", "pool1", 0),
     ("conv", "conv2_1", 128), ("conv", "conv2_2", 128), ("pool", "pool2", 0),
@@ -52,6 +53,38 @@ TRUNK_PLAN = (
     ("conv", "conv4_1", 512), ("conv", "conv4_2", 512),
     ("conv", "conv4_3", 512), ("conv", "conv4_4", 512),   # -> f4 (stride 8)
 )
+
+
+def trunk_plan(cfg: ModelCfg):
+    """Trunk topology for a config. The paper config returns TRUNK_PLAN
+    verbatim; the fast config swaps the stem for space-to-depth ('s2d' step;
+    the convs after it see the same stride-2 grid pool1 would produce) and
+    trims conv3/conv4 blocks to cfg.trunk_depth convs."""
+    if cfg.stem == "conv" and cfg.trunk_depth == 4:
+        return TRUNK_PLAN
+    plan = []
+    if cfg.stem == "s2d":
+        plan += [("s2d", "s2d", 0),
+                 ("conv", "conv1_1", 64), ("conv", "conv1_2", 64)]
+    else:
+        plan += [("conv", "conv1_1", 64), ("conv", "conv1_2", 64),
+                 ("pool", "pool1", 0)]
+    plan += [("conv", "conv2_1", 128), ("conv", "conv2_2", 128),
+             ("pool", "pool2", 0)]
+    d = cfg.trunk_depth
+    plan += [("conv", f"conv3_{i + 1}", 256) for i in range(d)]
+    plan[-1] = plan[-1]  # block-3 tail is the f3 tap (by position)
+    plan += [("pool", "pool3", 0)]
+    plan += [("conv", f"conv4_{i + 1}", 512) for i in range(d)]
+    return tuple(plan)
+
+
+def space_to_depth(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/r, W/r, C*r*r)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        b, h // r, w // r, c * r * r)
 
 
 def interp_matrix_align_corners(n_in: int, n_out: int) -> np.ndarray:
@@ -136,16 +169,21 @@ class DenseBox(nn.Module):
 
         prec = matmul_precision(dtype)
         x = images.astype(dtype)
+        plan = trunk_plan(cfg)
+        f3_tap = [n for k_, n, _ in plan
+                  if k_ == "conv" and n.startswith("conv3")][-1]
         f3 = None
-        for kind, name, width in TRUNK_PLAN:
+        for kind, name, width in plan:
             if kind == "conv":
                 x = nn.Conv(cfg.scaled(width), (3, 3), padding="SAME",
                             dtype=dtype, param_dtype=pdtype, precision=prec,
                             kernel_init=nn.initializers.he_normal(),
                             name=name)(x)
                 x = nn.relu(x)
-                if name == "conv3_4":
+                if name == f3_tap:
                     f3 = x
+            elif kind == "s2d":
+                x = space_to_depth(x, 2)
             else:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
         f4 = x

@@ -40,6 +40,22 @@ from densebox_tpu.config import LabelCfg
 LM_RADIUS = 1.0  # map units (paper §4: "radius ~1 px")
 
 
+def rasterize(boxes, box_valid, cfg, landmarks=None, lm_valid=None,
+              backend: str = "auto"):
+    """Backend dispatcher: 'jax' (XLA-fused, default off-TPU), 'pallas'
+    (VMEM kernel, default on TPU), or 'auto'."""
+    import jax
+
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jax"
+    if backend == "pallas":
+        from densebox_tpu.ops.pallas.labels import rasterize_batch_pallas
+
+        return rasterize_batch_pallas(boxes, box_valid, cfg, landmarks,
+                                      lm_valid)
+    return rasterize_batch(boxes, box_valid, cfg, landmarks, lm_valid)
+
+
 def rasterize_batch(
     boxes: jnp.ndarray,                  # (B, K, 4) xyxy, patch px coords
     box_valid: jnp.ndarray,              # (B, K) bool

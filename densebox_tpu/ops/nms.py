@@ -34,6 +34,22 @@ def iou_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(union, 1e-9)
 
 
+def nms_dispatch(boxes, scores, valid, *, iou_thresh, max_out,
+                 backend: str = "auto"):
+    """Backend dispatcher: 'jax' (default off-TPU), 'pallas' (VMEM greedy
+    sweep, ~1.8x faster at K=512 on v5e, default on TPU), or 'auto'."""
+    import jax
+
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jax"
+    if backend == "pallas":
+        from densebox_tpu.ops.pallas.nms import nms_pallas
+
+        return nms_pallas(boxes, scores, valid, iou_thresh=iou_thresh,
+                          max_out=max_out)
+    return nms(boxes, scores, valid, iou_thresh=iou_thresh, max_out=max_out)
+
+
 def nms(
     boxes: jnp.ndarray,    # (K, 4) xyxy
     scores: jnp.ndarray,   # (K,)

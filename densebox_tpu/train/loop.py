@@ -20,7 +20,7 @@ import optax
 from flax import struct
 
 from densebox_tpu.config import DenseBoxConfig
-from densebox_tpu.ops.labels import rasterize_batch
+from densebox_tpu.ops.labels import rasterize
 from densebox_tpu.ops.ohem import densebox_loss
 
 
@@ -68,9 +68,10 @@ def make_train_step(model, cfg: DenseBoxConfig):
         step_key = jax.random.fold_in(state.key, state.step)
         k_drop, k_loss = jax.random.split(step_key)
 
-        gts = rasterize_batch(
+        gts = rasterize(
             batch["boxes"], batch["box_valid"], cfg.label,
-            batch.get("landmarks"), batch.get("lm_valid"))
+            batch.get("landmarks"), batch.get("lm_valid"),
+            backend=cfg.train.label_backend)
 
         def loss_fn(params):
             out = model.apply(params, batch["image"], train=True,

@@ -17,7 +17,7 @@ import jax
 from densebox_tpu.config import DenseBoxConfig
 from densebox_tpu.data.patches import sample_patches
 from densebox_tpu.models import DenseBox
-from densebox_tpu.ops.labels import rasterize_batch
+from densebox_tpu.ops.labels import rasterize
 from densebox_tpu.ops.ohem import densebox_loss
 from densebox_tpu.train import checkpoint as ckpt_lib
 from densebox_tpu.train.loop import (TrainState, create_train_state,
@@ -41,9 +41,10 @@ def make_canvas_train_step(model: DenseBox, cfg: DenseBoxConfig,
                 k_patch, batch["image"], batch["boxes"], batch["box_valid"],
                 cfg.label, landmarks=batch.get("landmarks"))
 
-        gts = rasterize_batch(
+        gts = rasterize(
             batch["boxes"], batch["box_valid"], cfg.label,
-            batch.get("landmarks"), batch.get("lm_valid"))
+            batch.get("landmarks"), batch.get("lm_valid"),
+            backend=cfg.train.label_backend)
 
         def loss_fn(params):
             out = model.apply(params, batch["image"], train=True,

@@ -80,3 +80,35 @@ def test_bf16_compute_close_to_f32():
     err = np.max(np.abs(np.asarray(out32["score"]) - np.asarray(out16["score"])))
     scale = np.max(np.abs(np.asarray(out32["score"]))) + 1e-6
     assert err / scale < 0.1
+
+
+def test_fast_config_shapes_and_stride():
+    """Production fast config: s2d stem + depth-3 trunk keeps stride 4 and
+    all head shapes; trains (finite grads)."""
+    cfg = ModelCfg(stem="s2d", trunk_depth=3, width_mult=0.25)
+    model, params, x = _init(cfg, 64, 80, batch=2)
+    out = jax.jit(lambda p, x: model.apply(p, x))(params, x)
+    assert out["score"].shape == (2, 16, 20, 1)
+    assert out["loc"].shape == (2, 16, 20, 4)
+    # param names: s2d stem has conv1_1/conv1_2 but no full-res stage
+    names = set(params["params"].keys())
+    assert "conv1_1" in names and "conv3_4" not in names
+
+    def loss(p):
+        o = model.apply(p, x)
+        return (o["score"] ** 2).mean()
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+def test_space_to_depth_roundtrip():
+    from densebox_tpu.models import space_to_depth
+
+    x = np.arange(2 * 4 * 6 * 3, dtype=np.float32).reshape(2, 4, 6, 3)
+    y = np.asarray(space_to_depth(jnp.asarray(x), 2))
+    assert y.shape == (2, 2, 3, 12)
+    # first output pixel packs the 2x2 input block, channel-minor
+    np.testing.assert_array_equal(y[0, 0, 0, :3], x[0, 0, 0])
+    np.testing.assert_array_equal(y[0, 0, 0, 3:6], x[0, 0, 1])
+    np.testing.assert_array_equal(y[0, 0, 0, 6:9], x[0, 1, 0])
