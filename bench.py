@@ -23,6 +23,58 @@ import jax
 import jax.numpy as jnp
 
 
+def _bench_train(args, model_cfg, batch: int, iters: int) -> None:
+    """steps/sec of the full jitted train step, on-device end to end."""
+    from densebox_tpu.config import DenseBoxConfig, LabelCfg, TrainCfg
+    from densebox_tpu.data import synthetic_batch
+    from densebox_tpu.models import DenseBox
+    from densebox_tpu.train import create_train_state
+    from densebox_tpu.train.trainer import make_canvas_train_step
+
+    patch = 64 if args.smoke else 240
+    cfg = DenseBoxConfig(
+        model=model_cfg,
+        label=LabelCfg(patch_size=patch,
+                       std_height_px=50.0 * patch / 240),
+        train=TrainCfg(batch_size=batch))
+    canvas_cfg = LabelCfg(patch_size=2 * patch,
+                          std_height_px=cfg.label.std_height_px)
+    model = DenseBox(cfg.model)
+    b = synthetic_batch(jax.random.key(0), batch, canvas_cfg, max_boxes=8)
+    state = create_train_state(model, cfg, b["image"][:1, :patch, :patch])
+    step = make_canvas_train_step(model, cfg)
+
+    @jax.jit
+    def loop(state, b):
+        def body(_, carry):
+            st, acc = carry
+            st, metrics = step(st, b)
+            return st, acc + metrics["loss_total"]
+        return jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0)))
+
+    t_c0 = time.perf_counter()
+    st, acc = loop(state, b)
+    float(acc)
+    compile_s = time.perf_counter() - t_c0
+    best = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        float(loop(state, b)[1])
+        best = min(best, time.perf_counter() - t0)
+    steps_s = iters / best
+    print(json.dumps({
+        "device": str(jax.devices()[0]), "preset": args.preset,
+        "batch": batch, "patch": patch, "compile_s": round(compile_s, 1),
+        "ms_per_step": round(1e3 * best / iters, 2)}), file=sys.stderr)
+    print(json.dumps({
+        "metric": f"train steps/sec (batch {batch}, {patch}px patches, "
+                  "on-device GT+OHEM+SGD)",
+        "value": round(steps_s, 2),
+        "unit": "steps/sec",
+        "vs_baseline": None,
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
@@ -38,6 +90,10 @@ def main() -> None:
     ap.add_argument("--preset", default="paper", choices=["paper", "fast"],
                     help="paper = exact DenseBox (parity config); fast = "
                          "s2d stem + depth-3 trunk + width 0.5 (production)")
+    ap.add_argument("--mode", default="infer", choices=["infer", "train"],
+                    help="infer = images/sec pipeline; train = steps/sec of "
+                         "the full jitted train step (patch sampling + GT "
+                         "rasterization + OHEM loss + SGD)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes for CPU smoke testing")
     args = ap.parse_args()
@@ -63,6 +119,10 @@ def main() -> None:
     icfg = InferCfg(scales=tuple(float(s) for s in args.scales.split(",")),
                     score_thresh=0.5, topk_per_scale=256, max_dets=128)
     lcfg = LabelCfg()
+
+    if args.mode == "train":
+        _bench_train(args, cfg, batch, iters)
+        return
 
     dtype = jnp.dtype(args.dtype)
     images = jax.random.uniform(jax.random.key(0), (batch, h, w, 3), dtype)

@@ -134,6 +134,57 @@ def cmd_detect(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    import jax
+    import numpy as np
+
+    from densebox_tpu.config import InferCfg
+    from densebox_tpu.eval import detections_to_numpy, evaluate_detections
+    from densebox_tpu.infer import make_detect_fn
+    from densebox_tpu.models import DenseBox
+    from densebox_tpu.train.checkpoint import load_for_inference
+
+    cfg, params = load_for_inference(os.path.join(args.workdir, "ckpt"))
+    model = DenseBox(cfg.model)
+    icfg = InferCfg(scales=tuple(float(s) for s in args.scales.split(",")),
+                    score_thresh=args.thresh, nms_iou=args.nms_iou)
+    detect = make_detect_fn(model, icfg, cfg.label)
+
+    per_image = []
+    if args.synthetic:
+        from densebox_tpu.data import synthetic_batch
+
+        canvas_cfg = type(cfg.label)(
+            patch_size=4 * cfg.label.patch_size,
+            std_height_px=cfg.label.std_height_px)
+        for i in range(args.eval_batches):
+            b = synthetic_batch(jax.random.key(1_000_000 + i),
+                                args.batch_size, canvas_cfg,
+                                max_boxes=cfg.train.max_boxes)
+            dets = detect(params, b["image"])
+            per_image += detections_to_numpy(dets, b["boxes"],
+                                             b["box_valid"])
+    else:
+        from densebox_tpu.data.kitti import load_dataset
+        from densebox_tpu.data.pipeline import canvas_batch
+
+        samples = load_dataset(os.path.join(args.data_dir, "image_2"),
+                               os.path.join(args.data_dir, "label_2"))
+        for i in range(0, len(samples) - args.batch_size + 1,
+                       args.batch_size):
+            b = canvas_batch(samples[i:i + args.batch_size],
+                             tuple(args.canvas), max_boxes=64)
+            dets = detect(params, jax.numpy.asarray(b["image"]))
+            per_image += detections_to_numpy(dets, b["boxes"],
+                                             b["box_valid"])
+    res = evaluate_detections(per_image, iou_thresh=args.eval_iou)
+    print(json.dumps({"ap@%.2f" % args.eval_iou: round(res["ap"], 4),
+                      "n_images": len(per_image),
+                      "n_gt": int(res["n_gt"]),
+                      "n_pred": int(res["n_pred"])}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="densebox")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -174,7 +225,23 @@ def main(argv=None) -> int:
                    help="override inference compute dtype (e.g. bfloat16)")
     d.set_defaults(fn=cmd_detect)
 
+    e = sub.add_parser("eval", help="compute detection AP on a dataset")
+    e.add_argument("--workdir", required=True)
+    e.add_argument("--data-dir")
+    e.add_argument("--synthetic", action="store_true")
+    e.add_argument("--batch-size", type=int, default=8)
+    e.add_argument("--eval-batches", type=int, default=8,
+                   help="synthetic eval batches")
+    e.add_argument("--canvas", type=int, nargs=2, default=(384, 1248))
+    e.add_argument("--scales", default="0.5,0.7071,1.0,1.4142")
+    e.add_argument("--thresh", type=float, default=0.3)
+    e.add_argument("--nms-iou", type=float, default=0.5)
+    e.add_argument("--eval-iou", type=float, default=0.5)
+    e.set_defaults(fn=cmd_eval)
+
     args = p.parse_args(argv)
+    if args.cmd == "eval" and not (args.synthetic or args.data_dir):
+        p.error("eval requires --data-dir or --synthetic")
     if args.cmd == "train" and not (args.synthetic or args.data_dir):
         p.error("train requires --data-dir or --synthetic")
     return args.fn(args)

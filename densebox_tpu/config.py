@@ -97,6 +97,8 @@ class LossCfg:
     neg_pos_ratio: float = 1.0      # #sampled negatives = ratio * #positives
     hard_frac: float = 0.5          # fraction of sampled negatives that are hardest-by-loss
     min_neg: int = 16               # negatives sampled even when a patch has no positives
+    backend: str = "jax"            # OHEM selection: 'jax' (argsort ranks) |
+                                    # 'pallas' (bisection-threshold kernel)
 
 
 @dataclasses.dataclass(frozen=True)

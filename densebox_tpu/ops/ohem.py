@@ -74,9 +74,14 @@ def _cls_term(pred, gt, ignore, key, cfg):
     sq = ((pred - gt) ** 2).reshape(b, -1)
     pos = (gt > 0.5).reshape(b, -1)
     ign = (ignore > 0.5).reshape(b, -1)
-    keys = jax.random.split(key, b)
-    mask = jax.vmap(lambda s, p, i, k: ohem_mask(s, p, i, k, cfg))(
-        sq, pos, ign, keys)
+    if cfg.backend == "pallas":
+        from densebox_tpu.ops.pallas.ohem import ohem_mask_pallas
+
+        mask = ohem_mask_pallas(sq, pos, ign, key, cfg)
+    else:
+        keys = jax.random.split(key, b)
+        mask = jax.vmap(lambda s, p, i, k: ohem_mask(s, p, i, k, cfg))(
+            sq, pos, ign, keys)
     n = jnp.maximum(jnp.sum(mask), 1)
     return jnp.sum(sq * mask) / n, mask
 

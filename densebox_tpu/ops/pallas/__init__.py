@@ -11,3 +11,4 @@ match, and the pure-jax version remains the default on non-TPU backends
 
 from densebox_tpu.ops.pallas.labels import rasterize_batch_pallas  # noqa: F401
 from densebox_tpu.ops.pallas.nms import nms_pallas  # noqa: F401
+from densebox_tpu.ops.pallas.ohem import ohem_mask_pallas  # noqa: F401

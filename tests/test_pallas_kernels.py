@@ -83,3 +83,59 @@ def test_pallas_nms_empty_input():
     valid = jnp.zeros((16,), bool)
     _, _, v = nms_pallas(boxes, scores, valid, iou_thresh=0.5, max_out=8)
     assert not np.asarray(v).any()
+
+
+def test_pallas_ohem_invariants():
+    """The bisection OHEM kernel preserves every jax-twin invariant: all
+    positives kept, #neg == #pos, hardest half identical, gray zone never
+    sampled, deterministic per key."""
+    from densebox_tpu.config import LossCfg
+    from densebox_tpu.ops.pallas.ohem import ohem_mask_pallas
+
+    cfg = LossCfg()
+    rng = np.random.RandomState(0)
+    b, p = 3, 400
+    n_pos, n_ign = 40, 60
+    pos = np.zeros((b, p), bool)
+    pos[:, :n_pos] = True
+    ign = np.zeros((b, p), bool)
+    ign[:, n_pos:n_pos + n_ign] = True
+    sq = rng.uniform(0.0, 1.0, (b, p)).astype(np.float32)
+
+    m = np.asarray(ohem_mask_pallas(jnp.asarray(sq), jnp.asarray(pos),
+                                    jnp.asarray(ign), jax.random.key(3), cfg))
+    m2 = np.asarray(ohem_mask_pallas(jnp.asarray(sq), jnp.asarray(pos),
+                                     jnp.asarray(ign), jax.random.key(3), cfg))
+    np.testing.assert_array_equal(m, m2)  # deterministic per key
+
+    # bit-identical to the jax argsort twin (same key stream, distinct vals)
+    from densebox_tpu.ops.ohem import ohem_mask
+
+    keys = jax.random.split(jax.random.key(3), b)
+    twin = np.stack([np.asarray(ohem_mask(
+        jnp.asarray(sq[i]), jnp.asarray(pos[i]), jnp.asarray(ign[i]),
+        keys[i], cfg)) for i in range(b)])
+    np.testing.assert_array_equal(m, twin)
+    for i in range(b):
+        assert m[i, pos[i]].all()                       # all positives kept
+        assert not m[i, ign[i]].any()                   # gray never sampled
+        n_neg = m[i].sum() - n_pos
+        assert n_neg == n_pos                           # 1:1 neg:pos
+        neg_cand = ~pos[i] & ~ign[i]
+        n_hard = int(cfg.hard_frac * n_neg)
+        s = sq[i].copy()
+        s[~neg_cand] = -np.inf
+        hardest = np.argsort(-s)[:n_hard]
+        assert m[i, hardest].all()                      # hard half exact
+
+
+def test_pallas_ohem_no_positive_patch():
+    from densebox_tpu.config import LossCfg
+    from densebox_tpu.ops.pallas.ohem import ohem_mask_pallas
+
+    cfg = LossCfg(min_neg=16)
+    sq = jnp.asarray(np.random.RandomState(1).rand(2, 300).astype(np.float32))
+    pos = jnp.zeros((2, 300), bool)
+    ign = jnp.zeros((2, 300), bool)
+    m = np.asarray(ohem_mask_pallas(sq, pos, ign, jax.random.key(0), cfg))
+    assert (m.sum(axis=1) == 16).all()
