@@ -87,9 +87,12 @@ def main() -> None:
     ap.add_argument("--scales", default="1.0",
                     help="comma-separated pyramid scales")
     ap.add_argument("--landmarks", type=int, default=0)
-    ap.add_argument("--preset", default="paper", choices=["paper", "fast"],
-                    help="paper = exact DenseBox (parity config); fast = "
-                         "s2d stem + depth-3 trunk + width 0.5 (production)")
+    ap.add_argument("--preset", default="fast", choices=["paper", "fast"],
+                    help="fast (default) = production config: s2d stem + "
+                         "depth-3 trunk + width 0.5; paper = exact DenseBox "
+                         "architecture (the 1e-4-parity config). Measured "
+                         "ladder on v5e, full pipeline: paper bf16 425, "
+                         "paper int8 654, fast bf16 938, fast int8 961 img/s.")
     ap.add_argument("--mode", default="infer", choices=["infer", "train"],
                     help="infer = images/sec pipeline; train = steps/sec of "
                          "the full jitted train step (patch sampling + GT "
@@ -112,7 +115,9 @@ def main() -> None:
         wm = 0.5
     cfg = ModelCfg(num_landmarks=args.landmarks,
                    use_refine=args.landmarks > 0,
-                   width_mult=wm, compute_dtype=args.dtype,
+                   width_mult=wm,
+                   compute_dtype=("bfloat16" if args.dtype == "int8"
+                                  else args.dtype),
                    stem="s2d" if fast else "conv",
                    trunk_depth=3 if fast else 4)
     model = DenseBox(cfg)
@@ -124,11 +129,18 @@ def main() -> None:
         _bench_train(args, cfg, batch, iters)
         return
 
-    dtype = jnp.dtype(args.dtype)
+    dtype = jnp.dtype(args.dtype if args.dtype != "int8" else "bfloat16")
     images = jax.random.uniform(jax.random.key(0), (batch, h, w, 3), dtype)
     params = model.init(jax.random.key(1),
                         jnp.zeros((1, 64, 64, 3), jnp.float32))
     params = jax.device_put(params)
+    if args.dtype == "int8":
+        from densebox_tpu.models.quant import (QuantDenseBox,
+                                               quantize_densebox)
+
+        params = quantize_densebox(
+            params, cfg, images[:2].astype(jnp.float32))
+        model = QuantDenseBox(cfg)
 
     @jax.jit
     def pipeline_loop(p, x):

@@ -50,13 +50,19 @@ def decode_landmarks(
     stride: int,
     scale_x: float = 1.0,
     scale_y: float = 1.0,
+    subpixel: bool = True,
 ) -> jnp.ndarray:
     """Per-detection landmark positions: masked argmax of each landmark
-    heatmap inside the detection's box. Returns (D, L, 2) xy in
-    original-image coords (zeros for invalid detections)."""
+    heatmap inside the detection's box, quadratically refined to sub-pixel
+    precision (1-D parabola vertex per axis around the peak — the standard
+    heatmap-landmark trick; cf. the sub-pixel heatmap papers in PAPERS.md,
+    pattern only). Returns (D, L, 2) xy in original-image coords (zeros for
+    invalid detections)."""
     h, w, num_lm = lm_map.shape
     xs = (jnp.arange(w, dtype=jnp.float32) * stride / scale_x)[None, :]
     ys = (jnp.arange(h, dtype=jnp.float32) * stride / scale_y)[:, None]
+    flat_maps = lm_map.reshape(-1, num_lm)
+    lane = jnp.arange(num_lm)
 
     def one_box(box, ok):
         inside = ((xs >= box[0]) & (xs <= box[2]) &
@@ -64,9 +70,29 @@ def decode_landmarks(
         masked = jnp.where(inside[..., None], lm_map, -jnp.inf)
         flat = masked.reshape(-1, num_lm)
         idx = jnp.argmax(flat, axis=0)                      # (L,)
-        px = (idx % w).astype(jnp.float32) * stride / scale_x
-        py = (idx // w).astype(jnp.float32) * stride / scale_y
-        pts = jnp.stack([px, py], axis=-1)
+        ix = (idx % w).astype(jnp.float32)
+        iy = (idx // w).astype(jnp.float32)
+
+        if subpixel:
+            def at(dy, dx):
+                jx = jnp.clip(idx % w + dx, 0, w - 1)
+                jy = jnp.clip(idx // w + dy, 0, h - 1)
+                return flat_maps[jy * w + jx, lane]
+
+            c = at(0, 0)
+            eps = 1e-6
+
+            def vertex(lo, hi):
+                denom = lo - 2.0 * c + hi
+                delta = 0.5 * (lo - hi) / jnp.where(
+                    jnp.abs(denom) < eps, eps, denom)
+                return jnp.clip(delta, -0.5, 0.5)
+
+            ix = ix + vertex(at(0, -1), at(0, 1))
+            iy = iy + vertex(at(-1, 0), at(1, 0))
+
+        pts = jnp.stack([ix * stride / scale_x, iy * stride / scale_y],
+                        axis=-1)
         return jnp.where(ok, pts, 0.0)
 
     return jax.vmap(one_box)(boxes, valid)

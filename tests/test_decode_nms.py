@@ -171,3 +171,22 @@ def test_config3_landmark_branch_inference():
         params, imgs)
     assert out["lm_points"].shape == (1, 8, 4, 2)
     assert np.isfinite(np.asarray(out["lm_points"])).all()
+
+
+def test_decode_landmarks_subpixel_refinement():
+    """A peak with asymmetric neighbors decodes off-center toward the true
+    sub-pixel position; integer argmax alone would not."""
+    # 1-D parabola values for a true peak at x = 6.3: v(x) = 1 - (x-6.3)^2/4
+    lm = np.zeros((16, 16, 1), np.float32)
+    for dx in (-1, 0, 1):
+        lm[5, 6 + dx, 0] = 1.0 - ((6 + dx) - 6.3) ** 2 / 4.0
+        lm[5 + dx, 6, 0] = max(lm[5 + dx, 6, 0], 1.0 - (dx) ** 2 / 4.0)
+    boxes = jnp.array([[8., 8., 50., 40.]])
+    pts = decode_landmarks(jnp.asarray(lm), boxes, jnp.array([True]),
+                           stride=4)
+    x = float(pts[0, 0, 0]) / 4.0
+    assert abs(x - 6.3) < 0.05, x
+    # with subpixel off, lands exactly on the integer peak
+    pts0 = decode_landmarks(jnp.asarray(lm), boxes, jnp.array([True]),
+                            stride=4, subpixel=False)
+    assert float(pts0[0, 0, 0]) == 24.0

@@ -1,0 +1,72 @@
+"""Int8 quantized inference path: close to the float model, and detection
+quality survives quantization on a trained model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from densebox_tpu.config import (DenseBoxConfig, InferCfg, LabelCfg, ModelCfg,
+                                 TrainCfg)
+from densebox_tpu.data import synthetic_batch
+from densebox_tpu.eval import detections_to_numpy, evaluate_detections
+from densebox_tpu.infer import make_detect_fn
+from densebox_tpu.models import DenseBox
+from densebox_tpu.models.quant import QuantDenseBox, quantize_densebox
+
+
+def test_quant_outputs_track_float():
+    cfg = ModelCfg(num_landmarks=3, use_refine=True, width_mult=0.125)
+    model = DenseBox(cfg)
+    x = jax.random.uniform(jax.random.key(0), (2, 64, 64, 3))
+    params = model.init(jax.random.key(1), x)
+    want = model.apply(params, x)
+
+    qparams = quantize_densebox(params, cfg, x)
+    got = jax.jit(lambda q, x: QuantDenseBox(cfg).apply(q, x))(qparams, x)
+
+    assert set(got) == set(want)
+    for k in want:
+        a, b = np.asarray(want[k]), np.asarray(got[k])
+        scale = np.abs(a).max() + 1e-6
+        rel = np.abs(a - b).max() / scale
+        assert rel < 0.15, f"head {k}: int8 deviates {rel:.3f} from float"
+
+
+def test_quant_detection_quality_survives():
+    """Train briefly on synthetic data; int8 AP ~ float AP."""
+    from densebox_tpu.train import fit
+
+    cfg = DenseBoxConfig(
+        model=ModelCfg(width_mult=0.125),
+        label=LabelCfg(patch_size=64, std_height_px=20.0),
+        train=TrainCfg(batch_size=8, learning_rate=3e-3, max_boxes=2))
+    canvas_cfg = LabelCfg(patch_size=128, std_height_px=20.0)
+
+    def fetch(step):
+        return synthetic_batch(jax.random.key(step), 8, canvas_cfg,
+                               max_boxes=2)
+
+    result = fit(cfg, fetch, num_steps=200)
+    params = result.state.params
+    model = DenseBox(cfg.model)
+    icfg = InferCfg(scales=(1.0,), score_thresh=0.4, topk_per_scale=64,
+                    max_dets=8)
+
+    calib = synthetic_batch(jax.random.key(777), 4, canvas_cfg,
+                            max_boxes=2)["image"]
+    qparams = quantize_densebox(params, cfg.model, calib)
+
+    def ap_of(m, p):
+        detect = make_detect_fn(m, icfg, cfg.label)
+        per_image = []
+        for i in range(3):
+            b = synthetic_batch(jax.random.key(20_000 + i), 4, canvas_cfg,
+                                max_boxes=2)
+            per_image += detections_to_numpy(
+                detect(p, b["image"]), b["boxes"], b["box_valid"])
+        return evaluate_detections(per_image)["ap"]
+
+    ap_f = ap_of(model, params)
+    ap_q = ap_of(QuantDenseBox(cfg.model), qparams)
+    assert ap_f > 0.5
+    assert ap_q > 0.85 * ap_f, (ap_f, ap_q)
