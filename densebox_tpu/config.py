@@ -124,6 +124,10 @@ class TrainCfg:
     weight_decay: float = 5e-4
     lr_decay_steps: int = 20000
     lr_decay_rate: float = 0.5
+    grad_clip_norm: float = 10.0   # global-norm gradient clip; 0 disables.
+    # Not in the reference (it diverges instead); the initial multi-task L2
+    # loss is large (~100s) at production scale, so unclipped SGD at
+    # lr>=3e-3 NaNs within steps.
     num_steps: int = 100000
     max_boxes: int = 16             # padded per-patch box capacity
     seed: int = 0

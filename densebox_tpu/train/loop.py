@@ -38,9 +38,12 @@ def make_optimizer(cfg: DenseBoxConfig) -> optax.GradientTransformation:
         transition_steps=tcfg.lr_decay_steps,
         decay_rate=tcfg.lr_decay_rate,
         staircase=True)
-    return optax.chain(
-        optax.add_decayed_weights(tcfg.weight_decay),
-        optax.sgd(schedule, momentum=tcfg.momentum))
+    steps = []
+    if tcfg.grad_clip_norm > 0:
+        steps.append(optax.clip_by_global_norm(tcfg.grad_clip_norm))
+    steps += [optax.add_decayed_weights(tcfg.weight_decay),
+              optax.sgd(schedule, momentum=tcfg.momentum)]
+    return optax.chain(*steps)
 
 
 def create_train_state(model, cfg: DenseBoxConfig, sample_images) -> TrainState:
