@@ -77,9 +77,10 @@ def _bench_train(args, model_cfg, batch: int, iters: int) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--width-mult", type=float, default=1.0)
-    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--dtype", default="int8",
+                    help="bfloat16 | float32 | int8 (PTQ production path)")
     ap.add_argument("--iters", type=int, default=8,
                     help="pipeline invocations chained inside the jit")
     ap.add_argument("--repeats", type=int, default=3,
@@ -90,9 +91,9 @@ def main() -> None:
     ap.add_argument("--preset", default="fast", choices=["paper", "fast"],
                     help="fast (default) = production config: s2d stem + "
                          "depth-3 trunk + width 0.5; paper = exact DenseBox "
-                         "architecture (the 1e-4-parity config). Measured "
-                         "ladder on v5e, full pipeline: paper bf16 425, "
-                         "paper int8 654, fast bf16 938, fast int8 961 img/s.")
+                         "architecture (the 1e-4-parity config). See README "
+                         "for the measured v5e ladder (batch matters: slim "
+                         "configs need batch>=128 to fill the MXU).")
     ap.add_argument("--mode", default="infer", choices=["infer", "train"],
                     help="infer = images/sec pipeline; train = steps/sec of "
                          "the full jitted train step (patch sampling + GT "

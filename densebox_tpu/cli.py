@@ -83,9 +83,25 @@ def cmd_train(args) -> int:
 
     from densebox_tpu.utils.logging import maybe_profile
 
+    # Failure recovery (SURVEY.md §6): periodic checkpoints + resume-from-
+    # latest; --max-restarts re-enters the loop after a crash, restoring
+    # from the last checkpoint (single-slice story; multi-host elastic is
+    # out of scope for a detector this size — documented, not faked).
+    attempts = 0
     with maybe_profile(f"{args.workdir}/profile" if args.profile else None):
-        result = fit(cfg, batches, workdir=args.workdir,
-                     num_steps=args.steps, resume=not args.no_resume)
+        while True:
+            try:
+                result = fit(cfg, batches, workdir=args.workdir,
+                             num_steps=args.steps,
+                             resume=not args.no_resume or attempts > 0)
+                break
+            except Exception as e:  # noqa: BLE001 - restart boundary
+                attempts += 1
+                if attempts > args.max_restarts:
+                    raise
+                print(f"[restart {attempts}/{args.max_restarts}] "
+                      f"step failed: {type(e).__name__}: {e}; resuming from "
+                      f"last checkpoint", flush=True)
     print(f"done at step {int(result.state.step)}: "
           f"{json.dumps(result.last_metrics)}")
     return 0
@@ -209,6 +225,9 @@ def main(argv=None) -> int:
     t.add_argument("--log-every", type=int, default=50)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--no-resume", action="store_true")
+    t.add_argument("--max-restarts", type=int, default=0,
+                   help="auto-restart from the last checkpoint after a "
+                        "crash, up to N times")
     t.add_argument("--profile", action="store_true")
     t.add_argument("--debug-nans", action="store_true")
     t.set_defaults(fn=cmd_train)

@@ -112,3 +112,35 @@ def test_space_to_depth_roundtrip():
     np.testing.assert_array_equal(y[0, 0, 0, :3], x[0, 0, 0])
     np.testing.assert_array_equal(y[0, 0, 0, 3:6], x[0, 0, 1])
     np.testing.assert_array_equal(y[0, 0, 0, 6:9], x[0, 1, 0])
+
+
+def test_detections_identical_from_oracle_maps():
+    """mAP parity, reduced to a theorem: the jax model matches the torch
+    oracle to <=1e-4 per pixel (tests above), and feeding the ORACLE's maps
+    through our decode+NMS yields the same detections as the jax maps —
+    so detection outputs (hence mAP) match the reference implementation
+    for identical weights."""
+    from densebox_tpu.config import InferCfg, LabelCfg
+    from densebox_tpu.ops.decode import decode_topk
+    from densebox_tpu.ops.nms import nms
+    from tests.torch_oracle import oracle_forward
+
+    cfg = ModelCfg(width_mult=0.25)
+    model, params, x = _init(cfg, 64, 80, batch=1, seed=7)
+    ours = jax.jit(lambda p, x: model.apply(p, x))(params, x)
+    theirs = oracle_forward(jax.tree.map(np.asarray, params), np.asarray(x),
+                            cfg)
+    lab = LabelCfg()
+
+    def dets(score, loc):
+        b, s, v = decode_topk(jnp.asarray(score)[0, :, :, 0],
+                              jnp.asarray(loc)[0], stride=lab.stride,
+                              loc_norm=lab.loc_norm, topk=32,
+                              score_thresh=-1e9)
+        return nms(b, s, v, iou_thresh=0.5, max_out=16)
+
+    bj, sj, vj = dets(ours["score"], ours["loc"])
+    bt, st, vt = dets(theirs["score"], theirs["loc"])
+    np.testing.assert_array_equal(np.asarray(vj), np.asarray(vt))
+    np.testing.assert_allclose(np.asarray(bj), np.asarray(bt), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(sj), np.asarray(st), atol=1e-4)
