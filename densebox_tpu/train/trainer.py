@@ -13,6 +13,7 @@ import dataclasses
 from typing import Callable, Dict, Iterator, Optional, Tuple
 
 import jax
+import numpy as np
 
 from densebox_tpu.config import DenseBoxConfig
 from densebox_tpu.data.patches import sample_patches
@@ -65,6 +66,15 @@ def make_canvas_train_step(model: DenseBox, cfg: DenseBoxConfig,
 class FitResult:
     state: TrainState
     last_metrics: Dict[str, float]
+
+
+class TrainingDiverged(RuntimeError):
+    """Raised when the loss goes non-finite (SURVEY.md §6 failure-detection
+    row). Explicit rather than jax_debug_nans-based: on async runtimes
+    (e.g. this machine's axon tunnel) jax_debug_nans never fires, so the
+    trainer checks the fetched loss at every log/checkpoint boundary and
+    refuses to checkpoint a poisoned state — a later --max-restarts retry
+    resumes from the last finite checkpoint."""
 
 
 def fit(
@@ -128,6 +138,14 @@ def fit(
     while int(state.step) < num_steps:
         state, metrics = step_fn(state, place_batch(batch))
         step = int(state.step)
+        at_boundary = (step % cfg.train.log_every == 0
+                       or step % cfg.train.ckpt_every == 0
+                       or step == num_steps)
+        if at_boundary:
+            loss = float(metrics["loss_total"])
+            if not np.isfinite(loss):
+                raise TrainingDiverged(
+                    f"non-finite loss {loss} at step {step}")
         if logger and (step % cfg.train.log_every == 0 or step == num_steps):
             last = logger.log(step, metrics)
         elif step == num_steps:

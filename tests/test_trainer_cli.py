@@ -102,3 +102,18 @@ def test_cli_requires_data_source(tmp_path):
 
     with pytest.raises(SystemExit):
         main(["train", "--workdir", str(tmp_path)])
+
+
+def test_fit_raises_training_diverged(tmp_path):
+    """Divergence is detected explicitly (jax_debug_nans never fires on
+    async runtimes like the axon TPU tunnel)."""
+    from densebox_tpu.train import fit
+    from densebox_tpu.train.trainer import TrainingDiverged
+
+    cfg = _cfg(steps=10, learning_rate=500.0, grad_clip_norm=0.0)
+    with pytest.raises(TrainingDiverged, match="non-finite loss"):
+        fit(cfg, _canvas_batches(cfg), workdir=str(tmp_path), num_steps=10)
+    # no checkpoint of the poisoned state was written
+    ckpts = [p for p in os.listdir(tmp_path / "ckpt") if p.isdigit()] \
+        if os.path.isdir(tmp_path / "ckpt") else []
+    assert ckpts == []
