@@ -113,3 +113,16 @@ def heatmap_mse(a: Dict, b: Dict) -> Dict[str, float]:
     """Per-head mean-squared-error between two dense-output dicts."""
     return {k: float(np.mean((np.asarray(a[k]) - np.asarray(b[k])) ** 2))
             for k in a if k in b}
+
+
+def landmark_nme(pred_pts: np.ndarray, gt_pts: np.ndarray,
+                 norm: np.ndarray) -> float:
+    """Normalized mean error — the standard landmark metric (paper §4
+    evaluates landmark localization; NME is the modern formulation).
+    pred/gt (N, L, 2); norm (N,) per-instance normalizer (e.g. box
+    height or inter-ocular distance)."""
+    pred = np.asarray(pred_pts, np.float64)
+    gt = np.asarray(gt_pts, np.float64)
+    d = np.linalg.norm(pred - gt, axis=-1)            # (N, L)
+    return float(np.mean(d / np.maximum(
+        np.asarray(norm, np.float64)[:, None], 1e-9)))

@@ -156,3 +156,21 @@ def spatial_forward(
         check_vma=False)
     images = jax.device_put(images, NamedSharding(mesh, P(None, axis_name)))
     return shard(images)
+
+
+class SpatialDenseBox:
+    """apply()-compatible wrapper running the halo-sharded forward, so the
+    standard detect pipeline (infer.make_detect_fn / detect_batch) serves
+    images too large for one chip's HBM: the trunk computes H-sharded over
+    the mesh; the small stride-4 head maps come back as global arrays and
+    decode/NMS run under normal jit sharding."""
+
+    def __init__(self, cfg: ModelCfg, mesh: Mesh, axis_name: str = "data"):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.axis_name = axis_name
+
+    def apply(self, params, images, train: bool = False, rngs=None):
+        assert not train, "spatial sharding is inference-only"
+        return spatial_forward(params, images, self.cfg, self.mesh,
+                               self.axis_name)

@@ -89,3 +89,11 @@ def test_config5_training_reaches_detection_ap():
     res = evaluate_detections(per_image, iou_thresh=0.5)
     assert res["n_gt"] > 0
     assert res["ap"] > 0.5, res
+
+
+def test_landmark_nme():
+    from densebox_tpu.eval import landmark_nme
+
+    gt = np.array([[[0., 0.], [10., 0.]]])
+    pred = np.array([[[3., 4.], [10., 0.]]])  # one 5px error, one exact
+    assert landmark_nme(pred, gt, np.array([10.0])) == pytest.approx(0.25)

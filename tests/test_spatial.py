@@ -54,3 +54,29 @@ def test_spatial_rejects_bad_height():
     mesh = make_mesh(n_data=8, n_model=1)
     with pytest.raises(ValueError):
         spatial_forward(params, x, cfg, mesh, axis_name="data")
+
+
+def test_spatial_detect_end_to_end():
+    """SpatialDenseBox drives the standard detect pipeline: trunk H-sharded
+    over the mesh, decode+NMS on the gathered maps — same detections as the
+    unsharded model."""
+    from densebox_tpu.config import InferCfg, LabelCfg
+    from densebox_tpu.infer import detect_batch
+    from densebox_tpu.parallel.spatial import SpatialDenseBox
+
+    cfg = ModelCfg(width_mult=0.125)
+    model = DenseBox(cfg)
+    x = jax.random.uniform(jax.random.key(5), (1, 256, 64, 3), jnp.float32)
+    params = model.init(jax.random.key(6), x[:, :64])
+    mesh = make_mesh(n_data=8, n_model=1)
+    icfg = InferCfg(scales=(1.0,), score_thresh=-1e9, topk_per_scale=32,
+                    max_dets=8)
+
+    want = jax.jit(lambda p, im: detect_batch(model, p, im, icfg,
+                                              LabelCfg()))(params, x)
+    smodel = SpatialDenseBox(cfg, mesh)
+    got = detect_batch(smodel, params, x, icfg, LabelCfg())
+    np.testing.assert_array_equal(np.asarray(got["valid"]),
+                                  np.asarray(want["valid"]))
+    np.testing.assert_allclose(np.asarray(got["boxes"]),
+                               np.asarray(want["boxes"]), atol=1e-3)
