@@ -117,3 +117,30 @@ def test_fit_raises_training_diverged(tmp_path):
     ckpts = [p for p in os.listdir(tmp_path / "ckpt") if p.isdigit()] \
         if os.path.isdir(tmp_path / "ckpt") else []
     assert ckpts == []
+
+
+def test_presets_build_and_train():
+    """The two reference applications (KITTI vehicles, MALF-style faces)
+    instantiate and take a training step."""
+    import dataclasses as dc
+
+    from densebox_tpu import presets
+    from densebox_tpu.models import DenseBox
+    from densebox_tpu.train import create_train_state, make_train_step
+
+    for cfg in (presets.kitti_vehicle(width_mult=0.125),
+                presets.malf_face(num_landmarks=5, width_mult=0.125,
+                                  fast=True)):
+        cfg = dc.replace(cfg, label=LabelCfg(patch_size=64,
+                                             std_height_px=20.0),
+                         train=dc.replace(cfg.train, batch_size=2,
+                                          max_boxes=2))
+        model = DenseBox(cfg.model)
+        batch = synthetic_batch(jax.random.key(0), 2, cfg.label,
+                                max_boxes=2,
+                                num_landmarks=cfg.model.num_landmarks)
+        state = create_train_state(model, cfg, batch["image"])
+        state, metrics = jax.jit(make_train_step(model, cfg))(state, batch)
+        assert np.isfinite(float(metrics["loss_total"]))
+        if cfg.model.num_landmarks:
+            assert "loss_lm" in metrics and "loss_refined" in metrics
