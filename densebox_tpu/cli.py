@@ -27,7 +27,10 @@ def _build_cfg(args) -> "DenseBoxConfig":
                        width_mult=args.width_mult,
                        compute_dtype=args.dtype),
         label=LabelCfg(patch_size=args.patch_size,
-                       std_height_px=args.std_height),
+                       std_height_px=args.std_height,
+                       lm_flip_perm=(tuple(int(i) for i in
+                                     args.lm_flip_perm.split(","))
+                                     if args.lm_flip_perm else None)),
         train=TrainCfg(batch_size=args.batch_size,
                        learning_rate=args.lr,
                        num_steps=args.steps,
@@ -167,19 +170,24 @@ def cmd_eval(args) -> int:
     detect = make_detect_fn(model, icfg, cfg.label)
 
     per_image = []
+    nme_samples = []
     if args.synthetic:
         from densebox_tpu.data import synthetic_batch
 
         canvas_cfg = type(cfg.label)(
             patch_size=4 * cfg.label.patch_size,
             std_height_px=cfg.label.std_height_px)
+        num_lm = cfg.model.num_landmarks
         for i in range(args.eval_batches):
             b = synthetic_batch(jax.random.key(1_000_000 + i),
                                 args.batch_size, canvas_cfg,
-                                max_boxes=cfg.train.max_boxes)
+                                max_boxes=cfg.train.max_boxes,
+                                num_landmarks=num_lm)
             dets = detect(params, b["image"])
             per_image += detections_to_numpy(dets, b["boxes"],
                                              b["box_valid"])
+            if num_lm and "lm_points" in dets:
+                nme_samples += _match_landmarks(dets, b)
     else:
         from densebox_tpu.data.kitti import load_dataset
         from densebox_tpu.data.pipeline import canvas_batch
@@ -194,11 +202,53 @@ def cmd_eval(args) -> int:
             per_image += detections_to_numpy(dets, b["boxes"],
                                              b["box_valid"])
     res = evaluate_detections(per_image, iou_thresh=args.eval_iou)
-    print(json.dumps({"ap@%.2f" % args.eval_iou: round(res["ap"], 4),
-                      "n_images": len(per_image),
-                      "n_gt": int(res["n_gt"]),
-                      "n_pred": int(res["n_pred"])}))
+    summary = {"ap@%.2f" % args.eval_iou: round(res["ap"], 4),
+               "n_images": len(per_image),
+               "n_gt": int(res["n_gt"]),
+               "n_pred": int(res["n_pred"])}
+    if nme_samples:
+        from densebox_tpu.eval import landmark_nme
+
+        pred = np.stack([s[0] for s in nme_samples])
+        gt = np.stack([s[1] for s in nme_samples])
+        norm = np.asarray([s[2] for s in nme_samples])
+        summary["landmark_nme"] = round(landmark_nme(pred, gt, norm), 4)
+        summary["n_lm_matched"] = len(nme_samples)
+    print(json.dumps(summary))
     return 0
+
+
+def _match_landmarks(dets, batch):
+    """Pair each valid detection with the GT box whose IoU is highest and
+    collect (pred_landmarks, gt_landmarks, box_height) NME samples."""
+    import numpy as np
+
+    from densebox_tpu.ops.nms import iou_matrix
+
+    out = []
+    boxes = np.asarray(dets["boxes"])
+    valid = np.asarray(dets["valid"])
+    lm_pts = np.asarray(dets["lm_points"])
+    gt_boxes = np.asarray(batch["boxes"])
+    gt_valid = np.asarray(batch["box_valid"])
+    gt_lms = np.asarray(batch["landmarks"])
+    for i in range(boxes.shape[0]):
+        gv = gt_valid[i]
+        if not gv.any() or not valid[i].any():
+            continue
+        import jax.numpy as jnp
+
+        # np.array (copy): asarray of a jax array is a read-only view
+        ious = np.array(iou_matrix(jnp.asarray(boxes[i]),
+                                   jnp.asarray(gt_boxes[i])))
+        ious[:, ~gv] = -1.0
+        for d in np.nonzero(valid[i])[0]:
+            j = int(np.argmax(ious[d]))
+            if ious[d, j] < 0.5:
+                continue
+            h = gt_boxes[i, j, 3] - gt_boxes[i, j, 1]
+            out.append((lm_pts[i, d], gt_lms[i, j], h))
+    return out
 
 
 def main(argv=None) -> int:
@@ -218,6 +268,9 @@ def main(argv=None) -> int:
     t.add_argument("--patch-size", type=int, default=240)
     t.add_argument("--std-height", type=float, default=50.0)
     t.add_argument("--landmarks", type=int, default=0)
+    t.add_argument("--lm-flip-perm", default=None,
+                   help="comma-separated landmark channel permutation under "
+                        "horizontal flip, e.g. '1,0,3,2' for box corners")
     t.add_argument("--max-boxes", type=int, default=16)
     t.add_argument("--canvas", type=int, nargs=2, default=(384, 1248),
                    help="host canvas H W for full images")

@@ -11,7 +11,7 @@ functions as static arguments, and serialized into checkpoints.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 
 def _round_channels(c: float, multiple: int = 8) -> int:
@@ -68,6 +68,13 @@ class LabelCfg:
     rnear: float = 2.0              # gray-zone dilation radius around positives (map units)
     std_height_px: float = 50.0     # standard object height in a patch (px)
     scale_band: Tuple[float, float] = (0.8, 1.25)  # in-scale box-height band vs std_height
+    # Landmark channel permutation under horizontal flip (dataset semantics:
+    # e.g. left-eye<->right-eye, box corners TL<->TR / BL<->BR). Flipping
+    # mirrors coordinates but ALSO swaps left/right landmark identities;
+    # without the permutation each channel trains on a 50/50 mix of mirror
+    # twins (found as NME 0.5 at round-1 scale). None = identity (only safe
+    # for flip-symmetric landmark sets or hflip=False).
+    lm_flip_perm: Optional[Tuple[int, ...]] = None
 
     @property
     def map_size(self) -> int:

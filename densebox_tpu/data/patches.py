@@ -113,8 +113,12 @@ def sample_patches(
         lm = (landmarks - jnp.stack([wx, wy], -1)[:, None, None]) * \
             scale[:, None, None, None]
         if hflip:
-            lm = jnp.where(flip[:, None, None, None],
-                           lm.at[..., 0].set(ps - 1 - lm[..., 0]), lm)
+            flipped_lm = lm.at[..., 0].set(ps - 1 - lm[..., 0])
+            # channel identity swap under mirror (cfg.lm_flip_perm):
+            # left/right landmarks trade places, not just coordinates
+            if cfg.lm_flip_perm is not None:
+                flipped_lm = flipped_lm[:, :, list(cfg.lm_flip_perm), :]
+            lm = jnp.where(flip[:, None, None, None], flipped_lm, lm)
         out["landmarks"] = lm
         out["lm_valid"] = jnp.broadcast_to(tv[..., None], lm.shape[:3])
     return out

@@ -10,7 +10,7 @@ config-4 acceptance test asserts.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ Constraints: H divisible by (8 * n_shards); inference-only (no dropout).
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Dict
 
 import jax

@@ -35,12 +35,16 @@ def malf_face(num_landmarks: int = 5, width_mult: float = 1.0,
     (paper §4: 72 landmarks on MALF; 5-point variants are common — the
     count is a knob). Faces are near-square, so the default pyramid is
     denser at small scales."""
+    # 5-point flip permutation: left-eye<->right-eye, nose fixed,
+    # mouth-left<->mouth-right (only defined for the 5-point layout)
+    perm = (1, 0, 2, 4, 3) if num_landmarks == 5 else None
     return DenseBoxConfig(
         model=ModelCfg(num_landmarks=num_landmarks, use_refine=True,
                        width_mult=width_mult,
                        stem="s2d" if fast else "conv",
                        trunk_depth=3 if fast else 4),
-        label=LabelCfg(patch_size=240, std_height_px=50.0),
+        label=LabelCfg(patch_size=240, std_height_px=50.0,
+                       lm_flip_perm=perm),
         loss=LossCfg(lambda_lm=1.0, lambda_refine=1.0),
         infer=InferCfg(scales=(0.3536, 0.5, 0.7071, 1.0, 1.4142)),
         train=TrainCfg(batch_size=32, max_boxes=16),

@@ -10,7 +10,7 @@ profiler capture. Host work is image IO only (data/pipeline.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Iterator, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import numpy as np

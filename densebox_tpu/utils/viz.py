@@ -4,7 +4,7 @@ qualitative-output role."""
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

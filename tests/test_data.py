@@ -148,3 +148,34 @@ def test_prefetch_loader_yields_device_batches(tmp_path):
         assert batch["image"].shape == (2, 128, 160, 3)
         assert isinstance(batch["image"], jax.Array)
     it.close()
+
+
+def test_hflip_permutes_landmark_channels():
+    """Flip must swap mirror-twin landmark identities, not just mirror
+    coordinates (regression: without the permutation each channel trains on
+    a 50/50 mix of its mirror twin -> NME ~0.5 box heights)."""
+    cfg = LabelCfg(patch_size=32, std_height_px=16.0,
+                   lm_flip_perm=(1, 0, 3, 2))
+    rng = np.random.RandomState(0)
+    img = rng.rand(8, 64, 64, 3).astype(np.float32)
+    boxes = np.tile(np.array([[[20., 20., 36., 36.]]], np.float32), (8, 1, 1))
+    # corners TL TR BR BL
+    lms = np.tile(np.array([[[[20., 20.], [36., 20.],
+                              [36., 36.], [20., 36.]]]], np.float32),
+                  (8, 1, 1, 1))
+    out = sample_patches(jax.random.key(2), jnp.asarray(img),
+                         jnp.asarray(boxes), jnp.ones((8, 1), bool), cfg,
+                         neg_frac=0.0, max_translate_frac=0.0, hflip=True,
+                         landmarks=jnp.asarray(lms))
+    flip = np.asarray(out["flipped"])
+    assert flip.any() and (~flip).any()
+    tb = np.asarray(out["boxes"])[:, 0]
+    lm = np.asarray(out["landmarks"])[:, 0]
+    for i in range(8):
+        x1, y1, x2, y2 = tb[i]
+        # channel 0 must ALWAYS be the top-left corner of the (possibly
+        # flipped) box; channel 1 the top-right
+        np.testing.assert_allclose(lm[i, 0], [x1, y1], atol=1.01)
+        np.testing.assert_allclose(lm[i, 1], [x2, y1], atol=1.01)
+        np.testing.assert_allclose(lm[i, 2], [x2, y2], atol=1.01)
+        np.testing.assert_allclose(lm[i, 3], [x1, y2], atol=1.01)
