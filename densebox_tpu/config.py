@@ -119,6 +119,9 @@ class InferCfg:
     max_dets: int = 128             # final detections after cross-scale NMS
     pad_multiple: int = 8           # input spatial padding granularity
     nms_backend: str = "auto"       # 'jax' | 'pallas' | 'auto' (pallas on TPU)
+    approx_topk: bool = True        # lax.approx_max_k candidate extraction
+                                    # (3x faster on TPU; recall ~1.0 at the
+                                    # 0.95 target on dense score maps)
 
 
 @dataclasses.dataclass(frozen=True)

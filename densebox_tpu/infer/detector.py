@@ -127,7 +127,8 @@ def detect_batch(
             return decode_topk(
                 s_map, l_map, stride=stride, loc_norm=label_cfg.loc_norm,
                 topk=infer_cfg.topk_per_scale,
-                score_thresh=infer_cfg.score_thresh, scale_x=sx, scale_y=sy)
+                score_thresh=infer_cfg.score_thresh, scale_x=sx, scale_y=sy,
+                approx=infer_cfg.approx_topk)
 
         boxes, scores, valid = jax.vmap(dec)(score, out["loc"])
         all_boxes.append(boxes)

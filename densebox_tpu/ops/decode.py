@@ -30,6 +30,8 @@ def decode_topk(
     score_thresh: float,
     scale_x: float = 1.0,     # scaled-image -> original-image factor (x)
     scale_y: float = 1.0,
+    approx: bool = False,     # lax.approx_max_k (3x faster on TPU, ~perfect
+                              # recall at target 0.95 on dense score maps)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Extract the top-K scoring pixels and decode their boxes.
 
@@ -41,7 +43,10 @@ def decode_topk(
     k = min(topk, h * w)
 
     flat = score_map.reshape(-1)
-    scores, idx = lax.top_k(flat, k)
+    if approx and k < h * w:
+        scores, idx = lax.approx_max_k(flat, k, recall_target=0.95)
+    else:
+        scores, idx = lax.top_k(flat, k)
     iy = (idx // w).astype(jnp.float32)
     ix = (idx % w).astype(jnp.float32)
 
