@@ -116,7 +116,12 @@ def fit(
     raw_step = make_canvas_train_step(model, cfg, sample_from_canvas)
 
     place_batch = lambda b: b  # noqa: E731
-    if use_mesh and len(jax.devices()) > 1:
+    n_dev = len(jax.devices())
+    if use_mesh and n_dev > 1 and first["image"].shape[0] % n_dev:
+        print(f"DP mesh disabled: batch {first['image'].shape[0]} not "
+              f"divisible by {n_dev} devices", flush=True)
+        use_mesh = False
+    if use_mesh and n_dev > 1:
         from densebox_tpu.parallel import (batch_sharding, make_mesh,
                                            state_shardings)
         from jax.sharding import NamedSharding, PartitionSpec as P

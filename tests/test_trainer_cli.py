@@ -144,3 +144,44 @@ def test_presets_build_and_train():
         assert np.isfinite(float(metrics["loss_total"]))
         if cfg.model.num_landmarks:
             assert "loss_lm" in metrics and "loss_refined" in metrics
+
+
+def test_cli_train_eval_on_kitti_dir(tmp_path, capsys):
+    """End-to-end through the KITTI-style --data-dir path: loader ->
+    canvas batches -> on-device patch sampling -> training -> eval."""
+    import cv2
+
+    root = tmp_path / "kitti"
+    (root / "image_2").mkdir(parents=True)
+    (root / "label_2").mkdir()
+    rng = np.random.RandomState(0)
+    line = ("Car 0.00 0 -1.58 {x1:.1f} {y1:.1f} {x2:.1f} {y2:.1f} "
+            "1.57 1.73 4.15 1.00 1.75 13.22 -1.62")
+    for i in range(6):
+        img = (rng.rand(128, 160, 3) * 40).astype(np.uint8)
+        lines = []
+        for _ in range(rng.randint(1, 3)):
+            x1, y1 = rng.uniform(10, 90), rng.uniform(10, 70)
+            s = rng.uniform(18, 26)
+            img[int(y1):int(y1 + s), int(x1):int(x1 + s)] = 220
+            lines.append(line.format(x1=x1, y1=y1, x2=x1 + s, y2=y1 + s))
+        cv2.imwrite(str(root / "image_2" / f"{i:06d}.png"), img)
+        (root / "label_2" / f"{i:06d}.txt").write_text("\n".join(lines))
+
+    from densebox_tpu.cli import main
+
+    workdir = str(tmp_path / "run")
+    rc = main(["train", "--data-dir", str(root), "--workdir", workdir,
+               "--steps", "6", "--batch-size", "2", "--width-mult", "0.125",
+               "--patch-size", "64", "--std-height", "22",
+               "--canvas", "128", "160", "--max-boxes", "4",
+               "--ckpt-every", "6", "--log-every", "3"])
+    assert rc == 0
+    assert "done at step 6" in capsys.readouterr().out
+
+    rc = main(["eval", "--workdir", workdir, "--data-dir", str(root),
+               "--batch-size", "2", "--canvas", "128", "160",
+               "--scales", "1.0", "--thresh", "-1000"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"n_gt"' in out and '"ap@0.50"' in out
