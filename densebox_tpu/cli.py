@@ -121,7 +121,12 @@ def cmd_detect(args) -> int:
     from densebox_tpu.train.checkpoint import load_for_inference
     from densebox_tpu.utils.viz import draw_detections, save_image
 
-    cfg, params = load_for_inference(os.path.join(args.workdir, "ckpt"))
+    try:
+        cfg, params = load_for_inference(os.path.join(args.workdir, "ckpt"))
+    except FileNotFoundError as e:
+        print(f"error: {e} — train first or point --workdir at a training "
+              f"run", file=sys.stderr)
+        return 2
     infer_model_cfg = cfg.model if args.dtype is None else \
         type(cfg.model)(**{**cfg.model.__dict__, "compute_dtype": args.dtype})
     model = DenseBox(infer_model_cfg)
@@ -163,7 +168,12 @@ def cmd_eval(args) -> int:
     from densebox_tpu.models import DenseBox
     from densebox_tpu.train.checkpoint import load_for_inference
 
-    cfg, params = load_for_inference(os.path.join(args.workdir, "ckpt"))
+    try:
+        cfg, params = load_for_inference(os.path.join(args.workdir, "ckpt"))
+    except FileNotFoundError as e:
+        print(f"error: {e} — train first or point --workdir at a training "
+              f"run", file=sys.stderr)
+        return 2
     model = DenseBox(cfg.model)
     icfg = InferCfg(scales=tuple(float(s) for s in args.scales.split(",")),
                     score_thresh=args.thresh, nms_iou=args.nms_iou)
