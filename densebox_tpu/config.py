@@ -104,8 +104,10 @@ class LossCfg:
     neg_pos_ratio: float = 1.0      # #sampled negatives = ratio * #positives
     hard_frac: float = 0.5          # fraction of sampled negatives that are hardest-by-loss
     min_neg: int = 16               # negatives sampled even when a patch has no positives
-    backend: str = "jax"            # OHEM selection: 'jax' (argsort ranks) |
-                                    # 'pallas' (bisection-threshold kernel)
+    backend: str = "auto"           # OHEM selection: 'jax' (argsort ranks) |
+                                    # 'pallas' (bisection-threshold kernel) |
+                                    # 'auto' (pallas on TPU, jax elsewhere —
+                                    # same semantics as labels/NMS dispatch)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,9 +121,12 @@ class InferCfg:
     max_dets: int = 128             # final detections after cross-scale NMS
     pad_multiple: int = 8           # input spatial padding granularity
     nms_backend: str = "auto"       # 'jax' | 'pallas' | 'auto' (pallas on TPU)
-    approx_topk: bool = True        # lax.approx_max_k candidate extraction
-                                    # (3x faster on TPU; recall ~1.0 at the
-                                    # 0.95 target on dense score maps)
+    approx_topk: bool = False       # lax.approx_max_k candidate extraction
+                                    # (faster on TPU; recall ~1.0 at the 0.95
+                                    # target on dense score maps). Default
+                                    # OFF so accuracy-measurement paths (eval
+                                    # CLI, mAP parity) use exact top_k; the
+                                    # throughput bench opts in explicitly.
 
 
 @dataclasses.dataclass(frozen=True)

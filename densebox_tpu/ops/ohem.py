@@ -74,10 +74,18 @@ def _cls_term(pred, gt, ignore, key, cfg):
     sq = ((pred - gt) ** 2).reshape(b, -1)
     pos = (gt > 0.5).reshape(b, -1)
     ign = (ignore > 0.5).reshape(b, -1)
-    if cfg.backend == "pallas":
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jax"
+    if backend == "pallas":
         from densebox_tpu.ops.pallas.ohem import ohem_mask_pallas
 
-        mask = ohem_mask_pallas(sq, pos, ign, key, cfg)
+        # The mask is a constant w.r.t. params (selection, not value —
+        # matching the jax twin, whose argsort ranks carry no gradient), and
+        # pallas_call has no autodiff rule, so sever the tangent path through
+        # the kernel's loss input explicitly (zero-tangent inputs make JVP
+        # tracing skip the primitive's rule entirely).
+        mask = ohem_mask_pallas(jax.lax.stop_gradient(sq), pos, ign, key, cfg)
     else:
         keys = jax.random.split(key, b)
         mask = jax.vmap(lambda s, p, i, k: ohem_mask(s, p, i, k, cfg))(

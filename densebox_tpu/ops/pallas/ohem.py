@@ -5,10 +5,12 @@ Same contract as ops.ohem.ohem_mask, batched — and bit-identical to it for
 distinct loss values. The pure-jax twin selects negatives with two argsort
 ranks; sorting is awkward on the VPU, so this kernel replaces rank selection
 with THRESHOLD BISECTION: count(x > t) is monotone in t, so ~40 float
-bisection steps find the exact n-th-largest cutoff. "Top n by rank" and
-"above the n-th-largest threshold" choose the same set when values are
-distinct (ties — measure-zero for continuous losses/uniforms — may admit a
-different same-valued element than argsort would).
+bisection steps find the exact n-th-largest cutoff. Elements strictly above
+the cutoff are taken, and any shortfall from TIES at the cutoff (identical
+losses are common early in training) is filled from the tie class ordered by
+the kernel's uniform noise — so the selected COUNT always matches the
+argsort twin; membership differs from it only within a tie class, where the
+ordering is arbitrary anyway.
 
 Randomness is drawn OUTSIDE the kernel with the same per-sample key split
 as the jax twin, so the random-half selection matches the twin exactly and
@@ -65,8 +67,19 @@ def _ohem_kernel(sq_ref, pos_ref, ign_ref, rnd_ref, mask_ref, *,
     n_hard = jnp.floor(hard_frac * n_neg.astype(jnp.float32)).astype(jnp.int32)
     n_rand = n_neg - n_hard
 
+    # Strictly-above-cutoff selection undercounts when loss values TIE at the
+    # cutoff (common early in training: large regions share identical squared
+    # error). Fill the shortfall from the tie set, ordered by the same uniform
+    # noise the random half uses — count then matches the argsort twin exactly
+    # (membership within a tie class is noise-ordered rather than
+    # position-ordered; both are arbitrary among equal losses).
     t_hard = _count_threshold(sq, neg_cand, n_hard)
-    hard_sel = neg_cand & (sq > t_hard)
+    above = neg_cand & (sq > t_hard)
+    n_above = jnp.sum(above.astype(jnp.int32))
+    vstar = jnp.max(jnp.where(neg_cand & ~above, sq, -jnp.inf))
+    ties = neg_cand & (sq == vstar)
+    t_tie = _count_threshold(rnd, ties, n_hard - n_above)
+    hard_sel = above | (ties & (rnd > t_tie))
 
     rand_cand = neg_cand & ~hard_sel
     t_rand = _count_threshold(rnd, rand_cand, n_rand)

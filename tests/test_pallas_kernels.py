@@ -129,6 +129,59 @@ def test_pallas_ohem_invariants():
         assert m[i, hardest].all()                      # hard half exact
 
 
+def test_pallas_ohem_tied_losses_full_count():
+    """Tied loss values at the cutoff (ubiquitous early in training) must not
+    shrink the hard-negative count: the shortfall is filled from the tie
+    class. Here ALL negatives share one loss value, the worst case."""
+    from densebox_tpu.config import LossCfg
+    from densebox_tpu.ops.pallas.ohem import ohem_mask_pallas
+
+    cfg = LossCfg()
+    b, p, n_pos = 2, 256, 32
+    pos = np.zeros((b, p), bool)
+    pos[:, :n_pos] = True
+    ign = np.zeros((b, p), bool)
+    sq = np.full((b, p), 0.25, np.float32)  # every negative ties
+
+    m = np.asarray(ohem_mask_pallas(jnp.asarray(sq), jnp.asarray(pos),
+                                    jnp.asarray(ign), jax.random.key(7), cfg))
+    for i in range(b):
+        assert m[i, pos[i]].all()
+        assert m[i].sum() - n_pos == n_pos  # full 1:1 quota despite ties
+
+
+def test_pallas_ohem_backend_trains():
+    """densebox_loss(backend='pallas') must work under value_and_grad —
+    pallas_call has no autodiff rule, so the mask path severs gradients
+    (the mask is selection, not value; same semantics as the jax twin)."""
+    from densebox_tpu.config import LossCfg
+    from densebox_tpu.ops.ohem import densebox_loss
+
+    rng = np.random.RandomState(0)
+    m = 16
+    gts = {
+        "score": jnp.asarray((rng.rand(2, m, m, 1) > 0.9).astype(np.float32)),
+        "ignore": jnp.zeros((2, m, m, 1), jnp.float32),
+        "loc": jnp.asarray(rng.rand(2, m, m, 4).astype(np.float32)),
+        "loc_mask": jnp.asarray(
+            (rng.rand(2, m, m, 1) > 0.8).astype(np.float32)),
+    }
+    w = jnp.asarray(rng.randn(5).astype(np.float32))
+
+    def loss_fn(w, backend):
+        outputs = {"score": w[0] * jnp.ones((2, m, m, 1)) + w[1],
+                   "loc": w[2] * jnp.ones((2, m, m, 4)) + w[3]}
+        total, _ = densebox_loss(outputs, gts, jax.random.key(0),
+                                 LossCfg(backend=backend))
+        return total
+
+    vp, gp = jax.value_and_grad(lambda w: loss_fn(w, "pallas"))(w)
+    vj, gj = jax.value_and_grad(lambda w: loss_fn(w, "jax"))(w)
+    assert np.isfinite(np.asarray(gp)).all()
+    np.testing.assert_allclose(np.asarray(vp), np.asarray(vj), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gj), rtol=1e-5)
+
+
 def test_pallas_ohem_no_positive_patch():
     from densebox_tpu.config import LossCfg
     from densebox_tpu.ops.pallas.ohem import ohem_mask_pallas
