@@ -123,7 +123,8 @@ def main() -> None:
                    trunk_depth=3 if fast else 4)
     model = DenseBox(cfg)
     icfg = InferCfg(scales=tuple(float(s) for s in args.scales.split(",")),
-                    score_thresh=0.5, topk_per_scale=256, max_dets=128)
+                    score_thresh=0.5, topk_per_scale=256, max_dets=128,
+                    approx_topk=True)  # production throughput path opts in
     lcfg = LabelCfg()
 
     if args.mode == "train":
@@ -148,7 +149,15 @@ def main() -> None:
         def body(i, acc):
             xi = x + i.astype(dtype) * jnp.asarray(1e-6, dtype)
             out = detect_batch(model, p, xi, icfg, lcfg)
-            return acc + out["scores"][0, 0]
+            # Consume a full-batch reduction of EVERY output so XLA cannot
+            # dead-code-eliminate any slice of the pipeline (it will happily
+            # DCE whole convs if only one pixel is read — bench methodology,
+            # README). The reductions are O(B*max_dets), i.e. free.
+            total = jnp.float32(0.0)
+            for v in out.values():
+                vf = v.astype(jnp.float32)
+                total += jnp.where(jnp.isfinite(vf), vf, 0.0).sum()
+            return acc + total
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     t_c0 = time.perf_counter()

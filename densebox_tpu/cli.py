@@ -17,9 +17,33 @@ import sys
 
 
 
+def _merged_infer_cfg(base, args) -> "InferCfg":
+    """Layer ONLY explicitly-passed inference flags over ``base`` (the
+    checkpoint's serialized InferCfg at detect/eval time, the defaults at
+    train time) — honoring the config-in-every-checkpoint guarantee."""
+    import dataclasses
+
+    over = {}
+    if args.scales is not None:
+        over["scales"] = tuple(float(s) for s in args.scales.split(","))
+    if args.thresh is not None:
+        over["score_thresh"] = args.thresh
+    if args.nms_iou is not None:
+        over["nms_iou"] = args.nms_iou
+    if args.max_dets is not None:
+        over["max_dets"] = args.max_dets
+    if args.topk_per_scale is not None:
+        over["topk_per_scale"] = args.topk_per_scale
+    if args.approx_topk is not None:
+        over["approx_topk"] = bool(args.approx_topk)
+    if args.nms_backend is not None:
+        over["nms_backend"] = args.nms_backend
+    return dataclasses.replace(base, **over)
+
+
 def _build_cfg(args) -> "DenseBoxConfig":
-    from densebox_tpu.config import (DenseBoxConfig, LabelCfg, ModelCfg,
-                                     TrainCfg)
+    from densebox_tpu.config import (DenseBoxConfig, InferCfg, LabelCfg,
+                                     ModelCfg, TrainCfg)
 
     return DenseBoxConfig(
         model=ModelCfg(num_landmarks=args.landmarks,
@@ -31,6 +55,7 @@ def _build_cfg(args) -> "DenseBoxConfig":
                        lm_flip_perm=(tuple(int(i) for i in
                                      args.lm_flip_perm.split(","))
                                      if args.lm_flip_perm else None)),
+        infer=_merged_infer_cfg(InferCfg(), args),
         train=TrainCfg(batch_size=args.batch_size,
                        learning_rate=args.lr,
                        num_steps=args.steps,
@@ -96,15 +121,18 @@ def cmd_train(args) -> int:
             try:
                 result = fit(cfg, batches, workdir=args.workdir,
                              num_steps=args.steps,
-                             resume=not args.no_resume or attempts > 0)
+                             resume=not args.no_resume or attempts > 0,
+                             run_salt=attempts)
                 break
             except Exception as e:  # noqa: BLE001 - restart boundary
                 attempts += 1
                 if attempts > args.max_restarts:
                     raise
+                # run_salt=attempts: fresh dropout/OHEM randomness per retry,
+                # so a deterministic divergence is not replayed bit-exactly.
                 print(f"[restart {attempts}/{args.max_restarts}] "
                       f"step failed: {type(e).__name__}: {e}; resuming from "
-                      f"last checkpoint", flush=True)
+                      f"last checkpoint with salted PRNG", flush=True)
     print(f"done at step {int(result.state.step)}: "
           f"{json.dumps(result.last_metrics)}")
     return 0
@@ -115,7 +143,6 @@ def cmd_detect(args) -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from densebox_tpu.config import InferCfg
     from densebox_tpu.infer import make_detect_fn
     from densebox_tpu.models import DenseBox
     from densebox_tpu.train.checkpoint import load_for_inference
@@ -130,9 +157,7 @@ def cmd_detect(args) -> int:
     infer_model_cfg = cfg.model if args.dtype is None else \
         type(cfg.model)(**{**cfg.model.__dict__, "compute_dtype": args.dtype})
     model = DenseBox(infer_model_cfg)
-    icfg = InferCfg(scales=tuple(float(s) for s in args.scales.split(",")),
-                    score_thresh=args.thresh, nms_iou=args.nms_iou,
-                    max_dets=args.max_dets)
+    icfg = _merged_infer_cfg(cfg.infer, args)
     detect = make_detect_fn(model, icfg, cfg.label)
 
     os.makedirs(args.out, exist_ok=True)
@@ -162,7 +187,6 @@ def cmd_eval(args) -> int:
     import jax
     import numpy as np
 
-    from densebox_tpu.config import InferCfg
     from densebox_tpu.eval import detections_to_numpy, evaluate_detections
     from densebox_tpu.infer import make_detect_fn
     from densebox_tpu.models import DenseBox
@@ -175,8 +199,7 @@ def cmd_eval(args) -> int:
               f"run", file=sys.stderr)
         return 2
     model = DenseBox(cfg.model)
-    icfg = InferCfg(scales=tuple(float(s) for s in args.scales.split(",")),
-                    score_thresh=args.thresh, nms_iou=args.nms_iou)
+    icfg = _merged_infer_cfg(cfg.infer, args)
     detect = make_detect_fn(model, icfg, cfg.label)
 
     per_image = []
@@ -261,7 +284,33 @@ def _match_landmarks(dets, batch):
     return out
 
 
+def _add_infer_flags(p) -> None:
+    """Inference settings. Default None = "not passed": detect/eval fall back
+    to the checkpoint's serialized InferCfg, train to the InferCfg defaults
+    (which then get serialized into every checkpoint of the run)."""
+    p.add_argument("--scales", default=None,
+                   help="comma-separated pyramid scales "
+                        "(default: checkpoint InferCfg)")
+    p.add_argument("--thresh", type=float, default=None,
+                   help="score threshold (default: checkpoint InferCfg)")
+    p.add_argument("--nms-iou", type=float, default=None)
+    p.add_argument("--max-dets", type=int, default=None)
+    p.add_argument("--topk-per-scale", type=int, default=None)
+    p.add_argument("--approx-topk", type=int, choices=(0, 1), default=None,
+                   help="1: lax.approx_max_k candidate extraction (faster on "
+                        "TPU; accuracy paths default to exact top-k)")
+    p.add_argument("--nms-backend", choices=("auto", "jax", "pallas"),
+                   default=None)
+
+
 def main(argv=None) -> int:
+    # Multi-host bootstrap must precede any backend-touching jax API; no-op
+    # unless JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    # JAX_AUTO_DISTRIBUTED configure a multi-process run.
+    from densebox_tpu.parallel.multihost import ensure_distributed
+
+    ensure_distributed()
+
     p = argparse.ArgumentParser(prog="densebox")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -293,18 +342,16 @@ def main(argv=None) -> int:
                         "crash, up to N times")
     t.add_argument("--profile", action="store_true")
     t.add_argument("--debug-nans", action="store_true")
+    _add_infer_flags(t)
     t.set_defaults(fn=cmd_train)
 
     d = sub.add_parser("detect", help="run detection on images")
     d.add_argument("--workdir", required=True)
     d.add_argument("--image", nargs="+", required=True)
     d.add_argument("--out", default="detections")
-    d.add_argument("--scales", default="0.5,0.7071,1.0,1.4142")
-    d.add_argument("--thresh", type=float, default=0.5)
-    d.add_argument("--nms-iou", type=float, default=0.5)
-    d.add_argument("--max-dets", type=int, default=128)
     d.add_argument("--dtype", default=None,
                    help="override inference compute dtype (e.g. bfloat16)")
+    _add_infer_flags(d)
     d.set_defaults(fn=cmd_detect)
 
     e = sub.add_parser("eval", help="compute detection AP on a dataset")
@@ -315,10 +362,8 @@ def main(argv=None) -> int:
     e.add_argument("--eval-batches", type=int, default=8,
                    help="synthetic eval batches")
     e.add_argument("--canvas", type=int, nargs=2, default=(384, 1248))
-    e.add_argument("--scales", default="0.5,0.7071,1.0,1.4142")
-    e.add_argument("--thresh", type=float, default=0.3)
-    e.add_argument("--nms-iou", type=float, default=0.5)
     e.add_argument("--eval-iou", type=float, default=0.5)
+    _add_infer_flags(e)
     e.set_defaults(fn=cmd_eval)
 
     args = p.parse_args(argv)

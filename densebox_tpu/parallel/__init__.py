@@ -6,3 +6,7 @@ from densebox_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     state_shardings,
 )
+from densebox_tpu.parallel.multihost import (  # noqa: F401
+    ensure_distributed,
+    is_primary,
+)

@@ -22,29 +22,53 @@ import jax
 _initialized = False
 
 
+def _backends_initialized() -> bool:
+    """Whether any XLA backend has already been created in this process.
+    jax.distributed.initialize() must run strictly before that point."""
+    try:
+        from jax._src import xla_bridge
+
+        return bool(xla_bridge.backends_are_initialized())
+    except Exception:  # private API moved — be permissive, initialize() will
+        return False   # raise its own (accurate) error if it's too late
+
+
 def ensure_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    auto: Optional[bool] = None,
 ) -> None:
     """Initialize jax.distributed when running multi-process.
 
     Resolution order: explicit args > JAX_COORDINATOR_ADDRESS /
     JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars > TPU-pod auto-detection
-    (args all None on Cloud TPU VMs lets jax autodetect) > single-process
-    no-op.
+    (``auto=True`` or JAX_AUTO_DISTRIBUTED=1: all-None initialize() lets jax
+    autodetect on Cloud TPU VMs) > single-process no-op.
+
+    Must be called before any backend-touching jax API (jax.devices(),
+    jax.process_count(), any computation): initialize() raises once a backend
+    exists. That is also why this function cannot *query* jax to decide
+    whether it is needed — the decision comes from args/env alone.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
     num_processes = num_processes or _int_env("JAX_NUM_PROCESSES")
     process_id = process_id if process_id is not None else _int_env(
         "JAX_PROCESS_ID")
-    if coordinator_address is None and num_processes is None:
-        return  # single process
+    if auto is None:
+        auto = os.environ.get("JAX_AUTO_DISTRIBUTED") == "1"
+    if coordinator_address is None and num_processes is None and not auto:
+        return  # single process, nothing configured
+    if _backends_initialized():
+        raise RuntimeError(
+            "ensure_distributed() was called after a JAX backend was already "
+            "initialized; jax.distributed.initialize() must run first. Call "
+            "ensure_distributed() at program start, before any jax API that "
+            "touches devices.")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -84,6 +84,10 @@ def make_train_step(model, cfg: DenseBoxConfig):
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        # Divergence sentinel: a non-finite backward with a *finite* loss
+        # would otherwise poison params invisibly until the next loss fetch;
+        # the trainer checks this at every log/ckpt boundary before saving.
+        metrics["update_norm"] = optax.global_norm(updates)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params,
                                   opt_state=opt_state)

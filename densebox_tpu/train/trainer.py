@@ -14,6 +14,7 @@ from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import numpy as np
+import optax
 
 from densebox_tpu.config import DenseBoxConfig
 from densebox_tpu.data.patches import sample_patches
@@ -55,6 +56,9 @@ def make_canvas_train_step(model: DenseBox, cfg: DenseBoxConfig,
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        # See loop.py: catches finite-loss/non-finite-backward poisoning at
+        # the next boundary, before any checkpoint write.
+        metrics["update_norm"] = optax.global_norm(updates)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         return state.replace(step=state.step + 1, params=params,
                              opt_state=opt_state), metrics
@@ -87,6 +91,7 @@ def fit(
     use_mesh: bool = True,
     resume: bool = True,
     init_state: Optional[TrainState] = None,
+    run_salt: int = 0,
 ) -> FitResult:
     """Run the training loop.
 
@@ -95,6 +100,11 @@ def fit(
     data consumed at step N is identical across interrupted and
     uninterrupted runs). Mesh DP engages automatically when more than one
     device is visible.
+
+    ``run_salt`` (nonzero on --max-restarts retries) is folded into the
+    training PRNG key after restore, so a retry draws fresh dropout/OHEM
+    randomness instead of bit-exactly replaying a deterministic divergence.
+    Salted resumes are intentionally NOT bit-exact vs an uninterrupted run.
     """
     model = DenseBox(cfg.model)
     num_steps = num_steps or cfg.train.num_steps
@@ -112,6 +122,9 @@ def fit(
             if restored is not None:
                 state = restored[0]
                 print(f"resumed from step {int(state.step)}", flush=True)
+    if run_salt:
+        state = state.replace(
+            key=jax.random.fold_in(state.key, run_salt))
 
     raw_step = make_canvas_train_step(model, cfg, sample_from_canvas)
 
@@ -152,9 +165,11 @@ def fit(
                        or step == num_steps)
         if at_boundary:
             loss = float(metrics["loss_total"])
-            if not np.isfinite(loss):
+            upd = float(metrics.get("update_norm", 0.0))
+            if not (np.isfinite(loss) and np.isfinite(upd)):
                 raise TrainingDiverged(
-                    f"non-finite loss {loss} at step {step}")
+                    f"non-finite loss {loss} / update norm {upd} "
+                    f"at step {step}")
         if logger and (step % cfg.train.log_every == 0 or step == num_steps):
             last = logger.log(step, metrics)
         elif step == num_steps:

@@ -30,6 +30,58 @@ def _max_diff(a, b):
         a, b)))
 
 
+def test_multihost_env_resolution(monkeypatch):
+    """ensure_distributed() resolves explicit args > env vars and passes them
+    to jax.distributed.initialize exactly once (SURVEY.md §3.3 multi-host
+    row; only the bootstrap's host-side logic is testable on one machine)."""
+    from densebox_tpu.parallel import multihost
+
+    calls = []
+    monkeypatch.setattr(multihost.jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    monkeypatch.setattr(multihost, "_backends_initialized", lambda: False)
+    monkeypatch.setattr(multihost, "_initialized", False)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "envhost:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+
+    multihost.ensure_distributed()
+    assert calls == [{"coordinator_address": "envhost:1234",
+                      "num_processes": 4, "process_id": 2}]
+    multihost.ensure_distributed()  # idempotent: no second initialize
+    assert len(calls) == 1
+
+    # explicit args beat env vars
+    monkeypatch.setattr(multihost, "_initialized", False)
+    multihost.ensure_distributed(coordinator_address="arg:1", process_id=0)
+    assert calls[1]["coordinator_address"] == "arg:1"
+    assert calls[1]["process_id"] == 0
+    assert calls[1]["num_processes"] == 4  # env fills the gap
+
+
+def test_multihost_noop_and_late_init(monkeypatch):
+    from densebox_tpu.parallel import multihost
+
+    calls = []
+    monkeypatch.setattr(multihost.jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    monkeypatch.setattr(multihost, "_initialized", False)
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID", "JAX_AUTO_DISTRIBUTED"):
+        monkeypatch.delenv(var, raising=False)
+
+    multihost.ensure_distributed()  # nothing configured -> single-process
+    assert calls == []
+
+    # configured but a backend already exists -> loud, actionable failure
+    # (the real initialize() would raise anyway; we fail before touching it)
+    monkeypatch.setattr(multihost, "_backends_initialized", lambda: True)
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    with pytest.raises(RuntimeError, match="before any jax API"):
+        multihost.ensure_distributed()
+    assert calls == []
+
+
 def test_dp_matches_single_device():
     cfg, model, batch, state = _setup()
 

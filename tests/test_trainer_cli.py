@@ -97,6 +97,47 @@ def test_cli_train_then_detect(tmp_path, capsys):
     assert os.path.exists(os.path.join(out_dir, "scene.png"))
 
 
+def test_cli_infer_cfg_roundtrip(tmp_path, capsys):
+    """Inference settings passed at train time are serialized into the
+    checkpoint and honored by detect WITHOUT flags; explicitly-passed flags
+    still win (the config-in-every-checkpoint guarantee, at detect time)."""
+    import re
+
+    import cv2
+
+    from densebox_tpu.cli import main
+
+    workdir = str(tmp_path / "run")
+    rc = main(["train", "--synthetic", "--workdir", workdir,
+               "--steps", "2", "--batch-size", "4", "--width-mult", "0.125",
+               "--patch-size", "64", "--std-height", "20", "--max-boxes", "2",
+               "--ckpt-every", "2", "--log-every", "2",
+               "--thresh", "-1000", "--scales", "1.0", "--max-dets", "4",
+               "--topk-per-scale", "16", "--nms-backend", "jax"])
+    assert rc == 0
+    capsys.readouterr()
+
+    img = (np.random.RandomState(0).rand(96, 128, 3) * 255).astype(np.uint8)
+    img_path = str(tmp_path / "img.png")
+    cv2.imwrite(img_path, img)
+
+    # no inference flags: thresh -1000 / max_dets 4 must come from the ckpt
+    rc = main(["detect", "--workdir", workdir, "--image", img_path,
+               "--out", str(tmp_path / "dets")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    n = int(re.search(r": (\d+) detections", out).group(1))
+    assert 1 <= n <= 4, f"ckpt InferCfg not honored: {n} detections\n{out}"
+
+    # explicit flag overrides the serialized value
+    rc = main(["detect", "--workdir", workdir, "--image", img_path,
+               "--out", str(tmp_path / "dets2"), "--thresh", "1000"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    n = int(re.search(r": (\d+) detections", out).group(1))
+    assert n == 0, f"explicit --thresh did not override: {out}"
+
+
 def test_cli_requires_data_source(tmp_path):
     from densebox_tpu.cli import main
 
