@@ -119,8 +119,19 @@ class InferCfg:
     nms_iou: float = 0.5
     topk_per_scale: int = 256       # fixed-shape candidate extraction (no dynamic shapes)
     max_dets: int = 128             # final detections after cross-scale NMS
+    pre_nms_topk: int = 512         # cross-scale candidate cap before NMS: the
+                                    # per-scale sets concat to S*topk_per_scale;
+                                    # greedy NMS is O(K^2)+K sequential steps, so
+                                    # pruning to the top 512 by score cuts 4-scale
+                                    # single-image latency ~4x. Candidates below
+                                    # rank 512 can only surface if >pre_nms-max_dets
+                                    # higher-score boxes all get suppressed —
+                                    # the same truncation class as topk_per_scale.
+                                    # 0 disables.
     pad_multiple: int = 8           # input spatial padding granularity
-    nms_backend: str = "auto"       # 'jax' | 'pallas' | 'auto' (pallas on TPU)
+    nms_backend: str = "auto"       # 'jax' | 'pallas' | 'auto' (measured policy:
+                                    # pallas at small batch*K, jax otherwise —
+                                    # see ops/nms.py nms_dispatch)
     approx_topk: bool = False       # lax.approx_max_k candidate extraction
                                     # (faster on TPU; recall ~1.0 at the 0.95
                                     # target on dense score maps). Default

@@ -148,10 +148,21 @@ def detect_batch(
     scores = jnp.concatenate(all_scores, axis=1)
     valid = jnp.concatenate(all_valid, axis=1)
 
+    # Pre-NMS candidate cap: greedy NMS is O(K^2) + K sequential steps, so
+    # prune the cross-scale concat to the top pre_nms_topk by score first
+    # (same truncation class as topk_per_scale; see InferCfg.pre_nms_topk).
+    kcap = infer_cfg.pre_nms_topk
+    if kcap and boxes.shape[1] > kcap:
+        masked = jnp.where(valid, scores, -jnp.inf)
+        _, sel = jax.vmap(lambda m: jax.lax.top_k(m, kcap))(masked)
+        take = jax.vmap(lambda a, s: a[s])
+        boxes, scores, valid = take(boxes, sel), take(scores, sel), \
+            take(valid, sel)
+
     def one_nms(bx, sc, vl):
         return nms_dispatch(bx, sc, vl, iou_thresh=infer_cfg.nms_iou,
                             max_out=infer_cfg.max_dets,
-                            backend=infer_cfg.nms_backend)
+                            backend=infer_cfg.nms_backend, batch_hint=b)
 
     boxes, scores, valid = jax.vmap(one_nms)(boxes, scores, valid)
     result = {"boxes": boxes, "scores": scores, "valid": valid}

@@ -73,7 +73,6 @@ def trunk_plan(cfg: ModelCfg):
              ("pool", "pool2", 0)]
     d = cfg.trunk_depth
     plan += [("conv", f"conv3_{i + 1}", 256) for i in range(d)]
-    plan[-1] = plan[-1]  # block-3 tail is the f3 tap (by position)
     plan += [("pool", "pool3", 0)]
     plan += [("conv", f"conv4_{i + 1}", 512) for i in range(d)]
     return tuple(plan)

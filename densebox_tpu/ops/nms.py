@@ -35,13 +35,24 @@ def iou_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def nms_dispatch(boxes, scores, valid, *, iou_thresh, max_out,
-                 backend: str = "auto"):
-    """Backend dispatcher: 'jax' (default off-TPU), 'pallas' (VMEM greedy
-    sweep, ~1.8x faster at K=512 on v5e, default on TPU), or 'auto'."""
+                 backend: str = "auto", batch_hint: int = 1):
+    """Backend dispatcher: 'jax', 'pallas', or 'auto'.
+
+    'auto' policy, measured on v5e (round 2, BASELINE.md): under vmap the
+    jax path amortizes its K sequential greedy steps across the whole batch
+    (one vectorized iteration suppresses for every image at once), while the
+    Pallas kernel serializes batch elements through its grid — so Pallas
+    wins only when batch*K is small. Measured: B128/K256 jax 0.040 vs pallas
+    0.096 ms/img; B8/K1024 jax 1.25 vs pallas 0.82; B1/K1024 jax 5.5 vs
+    pallas 4.5. Crossover taken at batch*K <= 8192. Callers inside vmap pass
+    ``batch_hint`` (traced dims are invisible here).
+    """
     import jax
 
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "jax"
+        on_tpu = jax.default_backend() == "tpu"
+        k = boxes.shape[0]
+        backend = ("pallas" if on_tpu and batch_hint * k <= 8192 else "jax")
     if backend == "pallas":
         from densebox_tpu.ops.pallas.nms import nms_pallas
 
