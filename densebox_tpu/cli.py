@@ -49,6 +49,8 @@ def _build_cfg(args) -> "DenseBoxConfig":
         model=ModelCfg(num_landmarks=args.landmarks,
                        use_refine=args.landmarks > 0,
                        width_mult=args.width_mult,
+                       stem=args.stem,
+                       trunk_depth=args.trunk_depth,
                        compute_dtype=args.dtype),
         label=LabelCfg(patch_size=args.patch_size,
                        std_height_px=args.std_height,
@@ -157,6 +159,8 @@ def cmd_detect(args) -> int:
     infer_model_cfg = cfg.model if args.dtype is None else \
         type(cfg.model)(**{**cfg.model.__dict__, "compute_dtype": args.dtype})
     model = DenseBox(infer_model_cfg)
+    if args.quantize:
+        model, params = _quantize(params, cfg)
     icfg = _merged_infer_cfg(cfg.infer, args)
     detect = make_detect_fn(model, icfg, cfg.label)
 
@@ -199,6 +203,8 @@ def cmd_eval(args) -> int:
               f"run", file=sys.stderr)
         return 2
     model = DenseBox(cfg.model)
+    if args.quantize:
+        model, params = _quantize(params, cfg)
     icfg = _merged_infer_cfg(cfg.infer, args)
     detect = make_detect_fn(model, icfg, cfg.label)
 
@@ -249,6 +255,24 @@ def cmd_eval(args) -> int:
         summary["n_lm_matched"] = len(nme_samples)
     print(json.dumps(summary))
     return 0
+
+
+def _quantize(params, cfg):
+    """Int8 PTQ for the detect/eval CLI: calibrate activation scales on a
+    synthetic canvas batch (absmax calibration needs representative
+    magnitudes, not labels) and return (QuantDenseBox, qparams)."""
+    import jax
+
+    from densebox_tpu.data import synthetic_batch
+    from densebox_tpu.models.quant import QuantDenseBox, quantize_densebox
+
+    canvas_cfg = type(cfg.label)(patch_size=4 * cfg.label.patch_size,
+                                 std_height_px=cfg.label.std_height_px)
+    calib = synthetic_batch(jax.random.key(42), 2, canvas_cfg,
+                            max_boxes=cfg.train.max_boxes,
+                            num_landmarks=cfg.model.num_landmarks)["image"]
+    qparams = quantize_densebox(params, cfg.model, calib)
+    return QuantDenseBox(cfg.model), qparams
 
 
 def _match_landmarks(dets, batch):
@@ -323,6 +347,10 @@ def main(argv=None) -> int:
     t.add_argument("--batch-size", type=int, default=32)
     t.add_argument("--lr", type=float, default=1e-3)
     t.add_argument("--width-mult", type=float, default=1.0)
+    t.add_argument("--stem", choices=("conv", "s2d"), default="conv",
+                   help="s2d = space-to-depth fast stem (production preset)")
+    t.add_argument("--trunk-depth", type=int, default=4,
+                   help="convs per conv3/conv4 block (4=VGG19 paper, 3=fast)")
     t.add_argument("--dtype", default="float32")
     t.add_argument("--patch-size", type=int, default=240)
     t.add_argument("--std-height", type=float, default=50.0)
@@ -351,6 +379,8 @@ def main(argv=None) -> int:
     d.add_argument("--out", default="detections")
     d.add_argument("--dtype", default=None,
                    help="override inference compute dtype (e.g. bfloat16)")
+    d.add_argument("--quantize", action="store_true",
+                   help="int8 post-training-quantized inference path")
     _add_infer_flags(d)
     d.set_defaults(fn=cmd_detect)
 
@@ -363,6 +393,9 @@ def main(argv=None) -> int:
                    help="synthetic eval batches")
     e.add_argument("--canvas", type=int, nargs=2, default=(384, 1248))
     e.add_argument("--eval-iou", type=float, default=0.5)
+    e.add_argument("--quantize", action="store_true",
+                   help="evaluate the int8 PTQ path (for bf16-vs-int8 "
+                        "quality certification)")
     _add_infer_flags(e)
     e.set_defaults(fn=cmd_eval)
 

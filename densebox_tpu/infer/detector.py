@@ -57,7 +57,8 @@ def decode_landmarks(
     precision (1-D parabola vertex per axis around the peak — the standard
     heatmap-landmark trick; cf. the sub-pixel heatmap papers in PAPERS.md,
     pattern only). Returns (D, L, 2) xy in original-image coords (zeros for
-    invalid detections)."""
+    invalid detections; degenerate boxes spanning <1 map pixel fall back to
+    the box center instead of silently decoding pixel (0,0))."""
     h, w, num_lm = lm_map.shape
     xs = (jnp.arange(w, dtype=jnp.float32) * stride / scale_x)[None, :]
     ys = (jnp.arange(h, dtype=jnp.float32) * stride / scale_y)[:, None]
@@ -70,6 +71,7 @@ def decode_landmarks(
         masked = jnp.where(inside[..., None], lm_map, -jnp.inf)
         flat = masked.reshape(-1, num_lm)
         idx = jnp.argmax(flat, axis=0)                      # (L,)
+        peak_ok = jnp.isfinite(flat[idx, lane])             # any pixel inside?
         ix = (idx % w).astype(jnp.float32)
         iy = (idx // w).astype(jnp.float32)
 
@@ -93,6 +95,10 @@ def decode_landmarks(
 
         pts = jnp.stack([ix * stride / scale_x, iy * stride / scale_y],
                         axis=-1)
+        center = jnp.stack([(box[0] + box[2]) * 0.5 * jnp.ones((num_lm,)),
+                            (box[1] + box[3]) * 0.5 * jnp.ones((num_lm,))],
+                           axis=-1)
+        pts = jnp.where(peak_ok[:, None], pts, center)
         return jnp.where(ok, pts, 0.0)
 
     return jax.vmap(one_box)(boxes, valid)
@@ -115,9 +121,8 @@ def detect_batch(
     shapes = pyramid_shapes(h, w, infer_cfg.scales)
 
     all_boxes, all_scores, all_valid = [], [], []
-    lm_ref = None  # heatmap for landmark decode: scale closest to 1.0
-    lm_ref_dist = None
-    for (hs, ws, sy, sx), nominal in zip(shapes, infer_cfg.scales):
+    lm_maps = []  # per-scale (heatmaps, (sx, sy)) for per-scale lm decode
+    for s_idx, (hs, ws, sy, sx) in enumerate(shapes):
         imgs = images if (hs, ws) == (h, w) else jax.image.resize(
             images, (b, hs, ws, images.shape[-1]), method="linear")
         out = model.apply(params, imgs)
@@ -136,9 +141,7 @@ def detect_batch(
         all_valid.append(valid)
 
         if "lm" in out:
-            d = abs(nominal - 1.0)
-            if lm_ref is None or d < lm_ref_dist:
-                lm_ref, lm_ref_scale, lm_ref_dist = out["lm"], (sx, sy), d
+            lm_maps.append((out["lm"], (sx, sy)))
 
     # Cross-scale: concat fixed-K candidate sets, one global NMS (SURVEY §4.5)
     boxes = jnp.concatenate(all_boxes, axis=1)
@@ -147,6 +150,13 @@ def detect_batch(
     boxes = jnp.clip(boxes, 0.0, limit)
     scores = jnp.concatenate(all_scores, axis=1)
     valid = jnp.concatenate(all_valid, axis=1)
+    # per-candidate source-scale lane: landmark decode reads each detection's
+    # OWN scale's heatmap (a small object found at scale 1.41 gets landmarks
+    # from that finer map, not from whichever scale is nearest 1.0)
+    k_per = infer_cfg.topk_per_scale
+    src = jnp.concatenate(
+        [jnp.full((b, k_per), s, jnp.int32) for s in range(len(shapes))],
+        axis=1)
 
     # Pre-NMS candidate cap: greedy NMS is O(K^2) + K sequential steps, so
     # prune the cross-scale concat to the top pre_nms_topk by score first
@@ -156,25 +166,31 @@ def detect_batch(
         masked = jnp.where(valid, scores, -jnp.inf)
         _, sel = jax.vmap(lambda m: jax.lax.top_k(m, kcap))(masked)
         take = jax.vmap(lambda a, s: a[s])
-        boxes, scores, valid = take(boxes, sel), take(scores, sel), \
-            take(valid, sel)
+        boxes, scores, valid, src = (take(boxes, sel), take(scores, sel),
+                                     take(valid, sel), take(src, sel))
 
     def one_nms(bx, sc, vl):
         return nms_dispatch(bx, sc, vl, iou_thresh=infer_cfg.nms_iou,
                             max_out=infer_cfg.max_dets,
-                            backend=infer_cfg.nms_backend, batch_hint=b)
+                            backend=infer_cfg.nms_backend, batch_hint=b,
+                            return_idx=True)
 
-    boxes, scores, valid = jax.vmap(one_nms)(boxes, scores, valid)
+    boxes, scores, valid, kept = jax.vmap(one_nms)(boxes, scores, valid)
+    src = jax.vmap(lambda s, k: s[k])(src, kept)
     result = {"boxes": boxes, "scores": scores, "valid": valid}
 
-    if lm_ref is not None:
-        sx, sy = lm_ref_scale
+    if lm_maps:
+        pts = jnp.zeros(boxes.shape[:2] + (lm_maps[0][0].shape[-1], 2),
+                        jnp.float32)
+        for s_idx, (lm, (sx, sy)) in enumerate(lm_maps):
+            def one_lm(lm_, bx, vl, sx=sx, sy=sy):
+                return decode_landmarks(lm_, bx, vl, stride=stride,
+                                        scale_x=sx, scale_y=sy)
 
-        def one_lm(lm, bx, vl):
-            return decode_landmarks(lm, bx, vl, stride=stride,
-                                    scale_x=sx, scale_y=sy)
-
-        result["lm_points"] = jax.vmap(one_lm)(lm_ref, boxes, valid)
+            # decode_landmarks zeroes invalid slots, so the masked sum
+            # assembles each detection's own-scale result
+            pts = pts + jax.vmap(one_lm)(lm, boxes, valid & (src == s_idx))
+        result["lm_points"] = pts
     return result
 
 

@@ -44,7 +44,18 @@ def rasterize(boxes, box_valid, cfg, landmarks=None, lm_valid=None,
               backend: str = "auto"):
     """Backend dispatcher: 'jax' (XLA-fused, default off-TPU), 'pallas'
     (VMEM kernel, default on TPU), or 'auto'."""
+    import chex
     import jax
+
+    # shape/dtype guards (SURVEY.md §5.2): trace-time only, zero runtime cost
+    chex.assert_rank(boxes, 3)
+    chex.assert_axis_dimension(boxes, 2, 4)
+    chex.assert_shape(box_valid, boxes.shape[:2])
+    chex.assert_type(box_valid, bool)
+    if landmarks is not None:
+        chex.assert_rank(landmarks, 4)
+        chex.assert_axis_dimension(landmarks, 3, 2)
+        chex.assert_shape(landmarks[..., 0], lm_valid.shape)
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jax"

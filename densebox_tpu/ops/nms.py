@@ -35,7 +35,8 @@ def iou_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def nms_dispatch(boxes, scores, valid, *, iou_thresh, max_out,
-                 backend: str = "auto", batch_hint: int = 1):
+                 backend: str = "auto", batch_hint: int = 1,
+                 return_idx: bool = False):
     """Backend dispatcher: 'jax', 'pallas', or 'auto'.
 
     'auto' policy, measured on v5e (round 2, BASELINE.md): under vmap the
@@ -57,8 +58,9 @@ def nms_dispatch(boxes, scores, valid, *, iou_thresh, max_out,
         from densebox_tpu.ops.pallas.nms import nms_pallas
 
         return nms_pallas(boxes, scores, valid, iou_thresh=iou_thresh,
-                          max_out=max_out)
-    return nms(boxes, scores, valid, iou_thresh=iou_thresh, max_out=max_out)
+                          max_out=max_out, return_idx=return_idx)
+    return nms(boxes, scores, valid, iou_thresh=iou_thresh, max_out=max_out,
+               return_idx=return_idx)
 
 
 def nms(
@@ -68,11 +70,14 @@ def nms(
     *,
     iou_thresh: float,
     max_out: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    return_idx: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Greedy NMS over a fixed-capacity padded candidate set.
 
     Returns (boxes (max_out, 4), scores (max_out,), valid (max_out,)),
-    sorted by score descending.
+    sorted by score descending — plus, with ``return_idx``, each output
+    slot's index into the ORIGINAL candidate array (so callers can carry
+    extra per-candidate lanes, e.g. the source pyramid scale, through NMS).
     """
     k = boxes.shape[0]
     neg_inf = jnp.array(-jnp.inf, scores.dtype)
@@ -94,6 +99,7 @@ def nms(
                                 min(max_out, k))
     out_boxes = boxes[sel]
     out_valid = keep[sel]
+    out_idx = order[sel]
     if max_out > k:
         pad = max_out - k
         out_boxes = jnp.concatenate(
@@ -101,4 +107,7 @@ def nms(
         out_scores = jnp.concatenate(
             [out_scores, jnp.full((pad,), -jnp.inf, out_scores.dtype)])
         out_valid = jnp.concatenate([out_valid, jnp.zeros((pad,), bool)])
+        out_idx = jnp.concatenate([out_idx, jnp.zeros((pad,), out_idx.dtype)])
+    if return_idx:
+        return out_boxes, out_scores, out_valid, out_idx
     return out_boxes, out_scores, out_valid

@@ -101,6 +101,15 @@ def densebox_loss(
     cfg: LossCfg,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Total multi-task loss + metrics dict (all scalars, f32)."""
+    import chex
+
+    # shape guards (SURVEY.md §5.2): preds and GTs must agree per head
+    for name in ("score", "loc"):
+        chex.assert_shape(outputs[name], gts[name].shape)
+    chex.assert_rank(outputs["score"], 4)
+    if "lm" in outputs and "lm" in gts:
+        chex.assert_shape(outputs["lm"], gts["lm"].shape)
+
     k_cls, k_ref = jax.random.split(key)
 
     cls_loss, mask = _cls_term(outputs["score"], gts["score"], gts["ignore"],

@@ -87,7 +87,8 @@ def nms_pallas(
     iou_thresh: float,
     max_out: int,
     interpret: Optional[bool] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    return_idx: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Drop-in replacement for ops.nms.nms backed by the Pallas sweep."""
     k = boxes.shape[0]
     neg_inf = jnp.array(-jnp.inf, scores.dtype)
@@ -100,6 +101,7 @@ def nms_pallas(
                                 min(max_out, k))
     out_boxes = boxes[sel]
     out_valid = keep[sel]
+    out_idx = order[sel]
     if max_out > k:
         pad = max_out - k
         out_boxes = jnp.concatenate(
@@ -107,4 +109,7 @@ def nms_pallas(
         out_scores = jnp.concatenate(
             [out_scores, jnp.full((pad,), -jnp.inf, out_scores.dtype)])
         out_valid = jnp.concatenate([out_valid, jnp.zeros((pad,), bool)])
+        out_idx = jnp.concatenate([out_idx, jnp.zeros((pad,), out_idx.dtype)])
+    if return_idx:
+        return out_boxes, out_scores, out_valid, out_idx
     return out_boxes, out_scores, out_valid

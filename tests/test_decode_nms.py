@@ -173,6 +173,69 @@ def test_config3_landmark_branch_inference():
     assert np.isfinite(np.asarray(out["lm_points"])).all()
 
 
+class _StubPyramidModel:
+    """apply()-compatible stub emitting hand-built maps per pyramid level
+    (identified by input resolution) — isolates detect_batch's plumbing."""
+
+    def __init__(self, maps):
+        self.maps = maps  # {map_h: (score, loc, lm)} numpy, unbatched
+
+    def apply(self, params, imgs):
+        b, h, w, _ = imgs.shape
+        score, loc, lm = self.maps[h // 4]
+        tile = lambda a: jnp.broadcast_to(jnp.asarray(a), (b,) + a.shape)  # noqa: E731
+        return {"score": tile(score), "loc": tile(loc), "lm": tile(lm)}
+
+
+def test_landmarks_decode_from_detection_source_scale():
+    """A detection found only at scale 2.0 must take its landmarks from the
+    scale-2.0 heatmap; a misleading peak planted in the scale-1.0 map (which
+    the old nearest-to-1.0 policy would have read) must be ignored."""
+    lcfg = LabelCfg()
+
+    # scale 1.0: 64x64 input -> 16x16 map. No detection; misleading lm peak
+    # inside where the detection's box lands in this map's coords.
+    s1_score = np.full((16, 16, 1), -10.0, np.float32)
+    s1_loc = np.zeros((16, 16, 4), np.float32)
+    s1_lm = np.zeros((16, 16, 1), np.float32)
+    s1_lm[7, 7, 0] = 3.0        # orig (28, 28) — the WRONG answer
+
+    # scale 2.0: 128x128 input -> 32x32 map. One detection at map (16,16)
+    # with border distances 4 map units => orig box (24,24,40,40).
+    s2_score = np.full((32, 32, 1), -10.0, np.float32)
+    s2_score[16, 16, 0] = 5.0
+    s2_loc = np.full((32, 32, 4), 4.0 / lcfg.loc_norm, np.float32)
+    s2_lm = np.zeros((32, 32, 1), np.float32)
+    s2_lm[14, 18, 0] = 7.0      # orig (36, 28) — the RIGHT answer
+    s2_lm[2, 2, 0] = 9.0        # outside the box; must be masked
+
+    model = _StubPyramidModel({16: (s1_score, s1_loc, s1_lm),
+                               32: (s2_score, s2_loc, s2_lm)})
+    icfg = InferCfg(scales=(1.0, 2.0), score_thresh=0.0, topk_per_scale=8,
+                    max_dets=4)
+    imgs = jnp.zeros((1, 64, 64, 3))
+    out = jax.jit(lambda x: detect_batch(model, None, x, icfg, lcfg))(imgs)
+    v = np.asarray(out["valid"][0])
+    assert v.sum() == 1
+    d = int(np.nonzero(v)[0][0])
+    np.testing.assert_allclose(np.asarray(out["boxes"][0, d]),
+                               [24., 24., 40., 40.], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["lm_points"][0, d, 0]),
+                               [36., 28.], atol=1.0)
+
+
+def test_landmarks_degenerate_box_falls_back_to_center():
+    """A valid detection whose box spans <1 map pixel must decode landmarks
+    at the box center, not silently at pixel (0,0)."""
+    lm = np.zeros((16, 16, 2), np.float32)
+    lm[0, 0, :] = 9.0  # the old failure mode: all-masked argmax lands here
+    boxes = jnp.array([[31.8, 31.8, 32.2, 32.2]])
+    pts = decode_landmarks(jnp.asarray(lm), boxes, jnp.array([True]),
+                           stride=4)
+    np.testing.assert_allclose(np.asarray(pts[0]), [[32., 32.], [32., 32.]],
+                               atol=1e-4)
+
+
 def test_decode_landmarks_subpixel_refinement():
     """A peak with asymmetric neighbors decodes off-center toward the true
     sub-pixel position; integer argmax alone would not."""
