@@ -94,6 +94,15 @@ def main() -> None:
                          "architecture (the 1e-4-parity config). See README "
                          "for the measured v5e ladder (batch matters: slim "
                          "configs need batch>=128 to fill the MXU).")
+    ap.add_argument("--qbackend", default="auto",
+                    choices=["auto", "xla", "pallas"],
+                    help="int8 conv backend: xla (lax convs) | pallas "
+                         "(fused conv+requant kernel)")
+    ap.add_argument("--stem", default=None, choices=["conv", "s2d", "s2d4"],
+                    help="override the preset's stem (s2d4 = whole trunk at "
+                         "output stride; the bandwidth-lean variant)")
+    ap.add_argument("--trunk-depth", type=int, default=None,
+                    help="override the preset's convs per conv3/conv4 block")
     ap.add_argument("--mode", default="infer", choices=["infer", "train"],
                     help="infer = images/sec pipeline; train = steps/sec of "
                          "the full jitted train step (patch sampling + GT "
@@ -119,8 +128,8 @@ def main() -> None:
                    width_mult=wm,
                    compute_dtype=("bfloat16" if args.dtype == "int8"
                                   else args.dtype),
-                   stem="s2d" if fast else "conv",
-                   trunk_depth=3 if fast else 4)
+                   stem=args.stem or ("s2d" if fast else "conv"),
+                   trunk_depth=args.trunk_depth or (3 if fast else 4))
     model = DenseBox(cfg)
     icfg = InferCfg(scales=tuple(float(s) for s in args.scales.split(",")),
                     score_thresh=0.5, topk_per_scale=256, max_dets=128,
@@ -142,7 +151,7 @@ def main() -> None:
 
         params = quantize_densebox(
             params, cfg, images[:2].astype(jnp.float32))
-        model = QuantDenseBox(cfg)
+        model = QuantDenseBox(cfg, backend=args.qbackend)
 
     @jax.jit
     def pipeline_loop(p, x):

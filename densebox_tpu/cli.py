@@ -347,8 +347,9 @@ def main(argv=None) -> int:
     t.add_argument("--batch-size", type=int, default=32)
     t.add_argument("--lr", type=float, default=1e-3)
     t.add_argument("--width-mult", type=float, default=1.0)
-    t.add_argument("--stem", choices=("conv", "s2d"), default="conv",
-                   help="s2d = space-to-depth fast stem (production preset)")
+    t.add_argument("--stem", choices=("conv", "s2d", "s2d4"), default="conv",
+                   help="s2d = space-to-depth fast stem (production preset); "
+                        "s2d4 = whole trunk at output stride (bandwidth-lean)")
     t.add_argument("--trunk-depth", type=int, default=4,
                    help="convs per conv3/conv4 block (4=VGG19 paper, 3=fast)")
     t.add_argument("--dtype", default="float32")

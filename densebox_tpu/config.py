@@ -33,11 +33,14 @@ class ModelCfg:
     use_refine: bool = False        # refinement branch fusing score+landmarks (paper §4)
     width_mult: float = 1.0         # trunk/head channel multiplier
     # Production-speed knobs (the paper config is stem='conv', depth=4).
-    # stem='s2d': space-to-depth(2) + two stride-2 convs replace the
+    # stem='s2d': space-to-depth(2) + stride-2 conv1/conv2 replace the
     #   full-resolution conv1 block + pool1 (identical strides/channels
     #   downstream; the full-res stem is the measured utilization hole).
+    # stem='s2d4': space-to-depth(4) — the whole trunk runs at the output
+    #   stride, removing the full/half-res activations (the HBM-bandwidth
+    #   bottleneck at slim widths; BASELINE.md round-2 breakdown).
     # trunk_depth=3: VGG16-style 3-conv conv3/conv4 blocks instead of 4.
-    stem: str = "conv"              # 'conv' (paper) | 's2d' (fast)
+    stem: str = "conv"              # 'conv' (paper) | 's2d' | 's2d4' (fast)
     trunk_depth: int = 4            # convs per conv3/conv4 block (4=VGG19)
     head_width: int = 512           # 1x1 conv width in det/loc/lm heads (paper §3.2)
     refine_width: int = 64          # conv width in the refinement branch

@@ -57,20 +57,34 @@ TRUNK_PLAN = (
 
 def trunk_plan(cfg: ModelCfg):
     """Trunk topology for a config. The paper config returns TRUNK_PLAN
-    verbatim; the fast config swaps the stem for space-to-depth ('s2d' step;
-    the convs after it see the same stride-2 grid pool1 would produce) and
-    trims conv3/conv4 blocks to cfg.trunk_depth convs."""
+    verbatim; the fast configs swap the stem for space-to-depth and trim
+    conv3/conv4 blocks to cfg.trunk_depth convs:
+
+      * stem='s2d':  space-to-depth(2) replaces pool1 — conv1/conv2 run at
+        stride 2 (the convs after it see the grid pool1 would produce).
+      * stem='s2d4': space-to-depth(4) jumps straight to stride 4 — every
+        trunk conv runs on the output grid. This kills the full/half-res
+        activation tensors entirely; at slim widths the pipeline is
+        HBM-bandwidth-bound (BASELINE.md round-2 breakdown), so the win is
+        proportional to the bytes removed, not the FLOPs.
+    """
     if cfg.stem == "conv" and cfg.trunk_depth == 4:
         return TRUNK_PLAN
     plan = []
-    if cfg.stem == "s2d":
+    if cfg.stem == "s2d4":
+        plan += [("s2d4", "s2d4", 0),
+                 ("conv", "conv1_1", 64), ("conv", "conv1_2", 64),
+                 ("conv", "conv2_1", 128), ("conv", "conv2_2", 128)]
+    elif cfg.stem == "s2d":
         plan += [("s2d", "s2d", 0),
-                 ("conv", "conv1_1", 64), ("conv", "conv1_2", 64)]
+                 ("conv", "conv1_1", 64), ("conv", "conv1_2", 64),
+                 ("conv", "conv2_1", 128), ("conv", "conv2_2", 128),
+                 ("pool", "pool2", 0)]
     else:
         plan += [("conv", "conv1_1", 64), ("conv", "conv1_2", 64),
-                 ("pool", "pool1", 0)]
-    plan += [("conv", "conv2_1", 128), ("conv", "conv2_2", 128),
-             ("pool", "pool2", 0)]
+                 ("pool", "pool1", 0),
+                 ("conv", "conv2_1", 128), ("conv", "conv2_2", 128),
+                 ("pool", "pool2", 0)]
     d = cfg.trunk_depth
     plan += [("conv", f"conv3_{i + 1}", 256) for i in range(d)]
     plan += [("pool", "pool3", 0)]
@@ -183,6 +197,8 @@ class DenseBox(nn.Module):
                     f3 = x
             elif kind == "s2d":
                 x = space_to_depth(x, 2)
+            elif kind == "s2d4":
+                x = space_to_depth(x, 4)
             else:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
         f4 = x

@@ -108,6 +108,8 @@ def _forward(params, images, cfg: ModelCfg, *, taps=None, qparams=None
                 f3 = x
         elif kind == "s2d":
             x = space_to_depth(x, 2)
+        elif kind == "s2d4":
+            x = space_to_depth(x, 4)
         else:
             x = lax.reduce_window(x, -jnp.inf, lax.max,
                                   (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
@@ -132,6 +134,81 @@ def _forward(params, images, cfg: ModelCfg, *, taps=None, qparams=None
     return out
 
 
+def _forward_fused(qparams, images, cfg: ModelCfg) -> Dict[str, jnp.ndarray]:
+    """Int8 forward over the fused Pallas conv+requant kernel
+    (ops/pallas/qconv.py): activations stay int8 in HBM between convs; the
+    int32/bf16 intermediates of the XLA path never exist. Numerically it is
+    the same quantization chain as ``_forward(qparams=...)`` — each layer
+    dequantizes with in_scale*w_scale, adds bias, ReLUs, and requantizes by
+    the NEXT layer's calibrated input scale — so outputs agree with the XLA
+    int8 path up to f32-associativity in the epilogue."""
+    from densebox_tpu.ops.pallas.qconv import qconv_int8
+
+    plan = trunk_plan(cfg)
+    convs = [n for k, n, _ in plan if k == "conv"]
+    f3_tap = [n for n in convs if n.startswith("conv3")][-1]
+    q = qparams
+
+    def in_scale(name):
+        return q[name]["in_scale"]
+
+    def fused(x_q, name, nxt, *, relu=True, k3=True):
+        """x_q int8 at in_scale(name) -> int8 at in_scale(nxt) (or f32)."""
+        del k3
+        out_scale = (1.0 / in_scale(nxt)) if nxt is not None else None
+        return qconv_int8(
+            x_q, _w4d(q[name]), in_scale(name) * q[name]["w_scale"],
+            q[name]["bias"], out_scale, relu=relu)
+
+    def _w4d(entry):
+        return entry["w_q"]
+
+    # trunk: quantize the input image once, then stay int8 end to end
+    x_q = _quant_act(images.astype(jnp.float32), in_scale(convs[0]))
+    f3_q = None
+    nxt = {convs[i]: convs[i + 1] for i in range(len(convs) - 1)}
+    for kind, name, _ in plan:
+        if kind == "conv":
+            is_last = name == convs[-1]
+            x_q = fused(x_q, name, None if is_last else nxt[name])
+            if name == f3_tap:
+                f3_q = x_q          # int8 at in_scale(conv4_1)
+        elif kind == "s2d":
+            x_q = space_to_depth(x_q, 2)
+        elif kind == "s2d4":
+            x_q = space_to_depth(x_q, 4)
+        else:
+            # max-pool commutes with the monotonic requant: pooling the int8
+            # codes equals pooling in float then quantizing
+            x_q = lax.reduce_window(x_q, jnp.int8(-128), lax.max,
+                                    (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    f4 = x_q.astype(_GLUE)          # conv4_d emitted f32 (no next scale)
+
+    f3 = (f3_q.astype(jnp.float32) * in_scale(nxt[f3_tap])).astype(_GLUE)
+    feat = jnp.concatenate([f3, upsample2x_align_corners(f4)], axis=-1)
+
+    def head(prefix):
+        c1, c2 = f"{prefix}/{prefix}_conv1", f"{prefix}/{prefix}_conv2"
+        h_q = _quant_act(feat, in_scale(c1))
+        h_q = fused(h_q, c1, c2)
+        return fused(h_q, c2, None, relu=False)
+
+    out = {"score": head("det").astype(jnp.float32),
+           "loc": head("loc").astype(jnp.float32)}
+    if cfg.num_landmarks:
+        lm = head("lm")
+        out["lm"] = lm.astype(jnp.float32)
+        if cfg.use_refine:
+            r = jnp.concatenate([out["score"].astype(_GLUE),
+                                 lm.astype(_GLUE)], -1)
+            r_q = _quant_act(r, in_scale("refine_conv1"))
+            r_q = fused(r_q, "refine_conv1", "refine_conv2")
+            r_q = fused(r_q, "refine_conv2", "refine_out")
+            out["refined"] = fused(r_q, "refine_out", None,
+                                   relu=False).astype(jnp.float32)
+    return out
+
+
 def quantize_densebox(params, cfg: ModelCfg, calib_images: jnp.ndarray):
     """Calibrate activation scales on a representative batch and quantize
     all conv weights. Returns the qparams pytree for QuantDenseBox."""
@@ -152,11 +229,23 @@ def quantize_densebox(params, cfg: ModelCfg, calib_images: jnp.ndarray):
 
 class QuantDenseBox:
     """apply()-compatible int8 inference model (drop-in for DenseBox in
-    make_detect_fn / detect_batch)."""
+    make_detect_fn / detect_batch).
 
-    def __init__(self, cfg: ModelCfg):
+    backend: 'xla' (lax int8 convs + fused elementwise requant), 'pallas'
+    (fused conv+requant kernel, ops/pallas/qconv.py — activations stay int8
+    in HBM), or 'auto' (measured policy; see BASELINE.md round-2 ladder)."""
+
+    def __init__(self, cfg: ModelCfg, backend: str = "auto"):
         self.cfg = cfg
+        self.backend = backend
 
     def apply(self, qparams, images, train: bool = False, rngs=None):
         assert not train, "int8 path is inference-only"
+        backend = self.backend
+        if backend == "auto":
+            # measured policy (BASELINE.md round-2): keep the XLA path as
+            # the default until the fused kernel beats it on the ladder
+            backend = "xla"
+        if backend == "pallas":
+            return _forward_fused(qparams, images, self.cfg)
         return _forward(None, images, self.cfg, qparams=qparams)

@@ -118,6 +118,8 @@ def spatial_forward(
                     f3 = x
             elif kind == "s2d":
                 x = space_to_depth(x, 2)
+            elif kind == "s2d4":
+                x = space_to_depth(x, 4)
             else:
                 x = lax.reduce_window(
                     x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1),

@@ -130,6 +130,7 @@ def _tiny_model(landmarks=0, refine=False):
     return DenseBox(cfg), cfg
 
 
+@pytest.mark.slow
 def test_config1_single_scale_640x480_cpu():
     """BASELINE config 1: single 640x480 image, single-scale inference,
     score+bbox heatmaps -> NMS decode, all on CPU."""

@@ -19,6 +19,7 @@ def _init(cfg, h, w, batch=1, seed=0):
     return model, params, x
 
 
+@pytest.mark.slow
 def test_output_shapes_and_stride():
     cfg = ModelCfg(num_landmarks=5, use_refine=True, width_mult=0.25)
     model, params, x = _init(cfg, 64, 80, batch=2)
@@ -39,6 +40,7 @@ def test_rejects_non_divisible_input():
         model.init(jax.random.key(0), x)
 
 
+@pytest.mark.slow
 def test_upsample2x_matches_torch_align_corners():
     import torch
     import torch.nn.functional as F
@@ -70,6 +72,7 @@ def test_torch_oracle_parity(landmarks, refine):
             err_msg=f"head {k} diverged from torch oracle")
 
 
+@pytest.mark.slow
 def test_bf16_compute_close_to_f32():
     cfg32 = ModelCfg(width_mult=0.25)
     cfg16 = ModelCfg(width_mult=0.25, compute_dtype="bfloat16")
@@ -82,6 +85,7 @@ def test_bf16_compute_close_to_f32():
     assert err / scale < 0.1
 
 
+@pytest.mark.slow
 def test_fast_config_shapes_and_stride():
     """Production fast config: s2d stem + depth-3 trunk keeps stride 4 and
     all head shapes; trains (finite grads)."""
@@ -100,6 +104,34 @@ def test_fast_config_shapes_and_stride():
 
     g = jax.grad(loss)(params)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+def test_s2d4_config_shapes_and_stride():
+    """Bandwidth-lean s2d4 config: space-to-depth(4) stem keeps stride 4 and
+    all head shapes; trains (finite grads); int8 PTQ path agrees coarsely."""
+    cfg = ModelCfg(stem="s2d4", trunk_depth=3, width_mult=0.25)
+    model, params, x = _init(cfg, 64, 80, batch=2)
+    out = jax.jit(lambda p, x: model.apply(p, x))(params, x)
+    assert out["score"].shape == (2, 16, 20, 1)
+    assert out["loc"].shape == (2, 16, 20, 4)
+    names = set(params["params"].keys())
+    # no pool stages before conv3: the whole trunk runs at the output stride
+    assert "conv1_1" in names and "conv2_2" in names
+
+    def loss(p):
+        o = model.apply(p, x)
+        return (o["score"] ** 2).mean()
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+    from densebox_tpu.models.quant import QuantDenseBox, quantize_densebox
+
+    qparams = quantize_densebox(params, cfg, x)
+    qout = QuantDenseBox(cfg).apply(qparams, x)
+    scale = np.max(np.abs(np.asarray(out["score"]))) + 1e-6
+    err = np.max(np.abs(np.asarray(out["score"]) - np.asarray(qout["score"])))
+    assert err / scale < 0.25
 
 
 def test_space_to_depth_roundtrip():

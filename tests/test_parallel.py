@@ -82,6 +82,7 @@ def test_multihost_noop_and_late_init(monkeypatch):
     assert calls == []
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device():
     cfg, model, batch, state = _setup()
 
@@ -117,6 +118,7 @@ def test_dp_multi_step_stays_in_sync():
         np.testing.assert_array_equal(shards[0], sh)
 
 
+@pytest.mark.slow
 def test_tensor_parallel_2d_mesh_matches():
     cfg, model, batch, state = _setup(batch=4)
     mesh = make_mesh(n_data=4, n_model=2)

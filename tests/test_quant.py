@@ -1,6 +1,8 @@
 """Int8 quantized inference path: close to the float model, and detection
 quality survives quantization on a trained model."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -14,6 +16,7 @@ from densebox_tpu.models import DenseBox
 from densebox_tpu.models.quant import QuantDenseBox, quantize_densebox
 
 
+@pytest.mark.slow
 def test_quant_outputs_track_float():
     cfg = ModelCfg(num_landmarks=3, use_refine=True, width_mult=0.125)
     model = DenseBox(cfg)
@@ -32,6 +35,7 @@ def test_quant_outputs_track_float():
         assert rel < 0.15, f"head {k}: int8 deviates {rel:.3f} from float"
 
 
+@pytest.mark.slow
 def test_quant_detection_quality_survives():
     """Train briefly on synthetic data; int8 AP ~ float AP."""
     from densebox_tpu.train import fit

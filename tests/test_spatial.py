@@ -13,6 +13,7 @@ from densebox_tpu.parallel.mesh import make_mesh
 from densebox_tpu.parallel.spatial import spatial_forward
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("landmarks,refine", [(0, False), (3, True)])
 def test_spatial_matches_single_device(landmarks, refine):
     cfg = ModelCfg(num_landmarks=landmarks, use_refine=refine,
@@ -33,6 +34,7 @@ def test_spatial_matches_single_device(landmarks, refine):
             err_msg=f"spatially sharded head '{k}' diverged")
 
 
+@pytest.mark.slow
 def test_spatial_s2d_stem():
     cfg = ModelCfg(stem="s2d", trunk_depth=3, width_mult=0.125)
     model = DenseBox(cfg)
@@ -56,6 +58,7 @@ def test_spatial_rejects_bad_height():
         spatial_forward(params, x, cfg, mesh, axis_name="data")
 
 
+@pytest.mark.slow
 def test_spatial_detect_end_to_end():
     """SpatialDenseBox drives the standard detect pipeline: trunk H-sharded
     over the mesh, decode+NMS on the gathered maps — same detections as the

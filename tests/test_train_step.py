@@ -1,6 +1,8 @@
 """BASELINE config 4: single jitted training step — on-device GT generation +
 OHEM loss + backward; loss decreases on a synthetic set (SURVEY.md §5.3)."""
 
+import pytest
+
 import dataclasses
 
 import jax
@@ -20,6 +22,7 @@ def _cfg(landmarks=0, refine=False):
     )
 
 
+@pytest.mark.slow
 def test_config4_single_train_step():
     from densebox_tpu.models import DenseBox
 
@@ -41,6 +44,7 @@ def test_config4_single_train_step():
     assert max(jax.tree.leaves(moved)) > 0
 
 
+@pytest.mark.slow
 def test_config4_loss_decreases_over_50_steps():
     from densebox_tpu.models import DenseBox
 
@@ -60,6 +64,7 @@ def test_config4_loss_decreases_over_50_steps():
     assert np.mean(losses[-10:]) < 0.6 * np.mean(losses[:10]), losses
 
 
+@pytest.mark.slow
 def test_train_step_deterministic():
     from densebox_tpu.models import DenseBox
 

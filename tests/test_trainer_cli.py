@@ -33,6 +33,7 @@ def _canvas_batches(cfg, canvas_mult=2):
     return fetch
 
 
+@pytest.mark.slow
 def test_fit_runs_and_checkpoints(tmp_path):
     from densebox_tpu.train import fit
 
@@ -46,6 +47,7 @@ def test_fit_runs_and_checkpoints(tmp_path):
     assert 4 in steps
 
 
+@pytest.mark.slow
 def test_fit_resumes_exactly(tmp_path):
     from densebox_tpu.train import fit
 
@@ -65,6 +67,7 @@ def test_fit_resumes_exactly(tmp_path):
     assert max(jax.tree.leaves(diffs)) < 1e-6
 
 
+@pytest.mark.slow
 def test_cli_train_then_detect(tmp_path, capsys):
     """The reference's public API: train then detect, via the CLI."""
     import cv2
@@ -97,6 +100,7 @@ def test_cli_train_then_detect(tmp_path, capsys):
     assert os.path.exists(os.path.join(out_dir, "scene.png"))
 
 
+@pytest.mark.slow
 def test_cli_infer_cfg_roundtrip(tmp_path, capsys):
     """Inference settings passed at train time are serialized into the
     checkpoint and honored by detect WITHOUT flags; explicitly-passed flags
@@ -160,6 +164,7 @@ def test_fit_raises_training_diverged(tmp_path):
     assert ckpts == []
 
 
+@pytest.mark.slow
 def test_presets_build_and_train():
     """The two reference applications (KITTI vehicles, MALF-style faces)
     instantiate and take a training step."""
@@ -187,6 +192,7 @@ def test_presets_build_and_train():
             assert "loss_lm" in metrics and "loss_refined" in metrics
 
 
+@pytest.mark.slow
 def test_cli_train_eval_on_kitti_dir(tmp_path, capsys):
     """End-to-end through the KITTI-style --data-dir path: loader ->
     canvas batches -> on-device patch sampling -> training -> eval."""
