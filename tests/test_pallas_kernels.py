@@ -192,3 +192,31 @@ def test_pallas_ohem_no_positive_patch():
     ign = jnp.zeros((2, 300), bool)
     m = np.asarray(ohem_mask_pallas(sq, pos, ign, jax.random.key(0), cfg))
     assert (m.sum(axis=1) == 16).all()
+
+
+def test_qconv_fused_matches_reference():
+    """Fused int8 conv+requant kernel == jnp reference (int32 accumulation,
+    identical round/clip), across 3x3/1x1, aligned/unaligned widths, and
+    both output modes (int8 requant / f32)."""
+    from densebox_tpu.ops.pallas.qconv import qconv_int8, qconv_reference
+
+    rng = np.random.RandomState(0)
+    cases = [
+        (2, 16, 24, 8, 16, 3, True),    # 3x3, unaligned W, int8 out
+        (1, 8, 80, 16, 32, 3, False),   # 3x3, W%32!=0, f32 out
+        (2, 16, 33, 8, 16, 1, True),    # 1x1, odd W
+        (2, 12, 40, 8, 8, 3, True),     # TH does not divide evenly
+    ]
+    for b, h, w_, cin, cout, k, quant in cases:
+        x = jnp.asarray(rng.randint(-127, 128, (b, h, w_, cin)), jnp.int8)
+        w = jnp.asarray(rng.randint(-20, 21, (k, k, cin, cout)), jnp.int8)
+        scale = jnp.asarray(rng.uniform(1e-3, 2e-3, (cout,)), jnp.float32)
+        bias = jnp.asarray(rng.uniform(-0.1, 0.1, (cout,)), jnp.float32)
+        osc = (jnp.asarray(rng.uniform(20, 40, (cout,)), jnp.float32)
+               if quant else None)
+        got = qconv_int8(x, w, scale, bias, osc)
+        want = qconv_reference(x, w, scale, bias, osc)
+        assert got.dtype == (jnp.int8 if quant else jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=1e-4, err_msg=str((b, h, w_, cin, cout, k, quant)))

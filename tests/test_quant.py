@@ -74,3 +74,30 @@ def test_quant_detection_quality_survives():
     ap_q = ap_of(QuantDenseBox(cfg.model), qparams)
     assert ap_f > 0.5
     assert ap_q > 0.85 * ap_f, (ap_f, ap_q)
+
+
+def test_fused_pallas_backend_tracks_xla_backend():
+    """QuantDenseBox(backend='pallas') stays close to the XLA int8 path:
+    the only deliberate deviations are the f32 (vs bf16) epilogue and the
+    f3 skip branch passing through int8 once more (quant.py docstring)."""
+    import jax
+
+    from densebox_tpu.config import ModelCfg
+    from densebox_tpu.models import DenseBox
+    from densebox_tpu.models.quant import QuantDenseBox, quantize_densebox
+
+    cfg = ModelCfg(stem="s2d4", trunk_depth=2, width_mult=0.125,
+                   num_landmarks=3, use_refine=True,
+                   compute_dtype="bfloat16")
+    m = DenseBox(cfg)
+    x = jax.random.uniform(jax.random.key(0), (2, 32, 40, 3))
+    p = m.init(jax.random.key(1), x)
+    qp = quantize_densebox(p, cfg, x)
+    a = QuantDenseBox(cfg, backend="xla").apply(qp, x)
+    b = QuantDenseBox(cfg, backend="pallas").apply(qp, x)
+    assert set(a) == set(b)
+    for k in a:
+        d = float(jnp.abs(a[k].astype(jnp.float32)
+                          - b[k].astype(jnp.float32)).max())
+        s = float(jnp.abs(a[k]).max()) + 1e-6
+        assert d / s < 0.15, (k, d, s)
