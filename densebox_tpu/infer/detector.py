@@ -17,6 +17,7 @@ from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from densebox_tpu.config import InferCfg, LabelCfg
 from densebox_tpu.ops.decode import decode_topk
@@ -51,6 +52,7 @@ def decode_landmarks(
     scale_x: float = 1.0,
     scale_y: float = 1.0,
     subpixel: bool = True,
+    window: int = 32,
 ) -> jnp.ndarray:
     """Per-detection landmark positions: masked argmax of each landmark
     heatmap inside the detection's box, quadratically refined to sub-pixel
@@ -58,28 +60,46 @@ def decode_landmarks(
     heatmap-landmark trick; cf. the sub-pixel heatmap papers in PAPERS.md,
     pattern only). Returns (D, L, 2) xy in original-image coords (zeros for
     invalid detections; degenerate boxes spanning <1 map pixel fall back to
-    the box center instead of silently decoding pixel (0,0))."""
+    the box center instead of silently decoding pixel (0,0)).
+
+    TPU memory discipline: the search runs inside a ``window``-sized crop
+    dynamically sliced around each box center — masking the FULL heatmap per
+    detection materializes a (D, h, w, L) tensor, which at pyramid scale
+    1.41 of a 512px canvas is tens of GB for a 128-detection batch (found
+    as an HBM OOM in the round-2 eval). ``window=32`` map pixels covers
+    boxes up to 128 px at scale 1; larger boxes search a centered crop."""
     h, w, num_lm = lm_map.shape
-    xs = (jnp.arange(w, dtype=jnp.float32) * stride / scale_x)[None, :]
-    ys = (jnp.arange(h, dtype=jnp.float32) * stride / scale_y)[:, None]
-    flat_maps = lm_map.reshape(-1, num_lm)
+    win = int(min(window, h, w))
     lane = jnp.arange(num_lm)
 
     def one_box(box, ok):
+        # window origin: box center in THIS scale's map coordinates
+        cx = 0.5 * (box[0] + box[2]) * scale_x / stride
+        cy = 0.5 * (box[1] + box[3]) * scale_y / stride
+        x0 = jnp.clip(jnp.floor(cx).astype(jnp.int32) - win // 2, 0, w - win)
+        y0 = jnp.clip(jnp.floor(cy).astype(jnp.int32) - win // 2, 0, h - win)
+        patch = lax.dynamic_slice(lm_map, (y0, x0, 0), (win, win, num_lm))
+
+        # original-image coords of the window's pixels
+        xs = ((x0 + jnp.arange(win)).astype(jnp.float32)
+              * stride / scale_x)[None, :]
+        ys = ((y0 + jnp.arange(win)).astype(jnp.float32)
+              * stride / scale_y)[:, None]
         inside = ((xs >= box[0]) & (xs <= box[2]) &
-                  (ys >= box[1]) & (ys <= box[3]))          # (h, w)
-        masked = jnp.where(inside[..., None], lm_map, -jnp.inf)
+                  (ys >= box[1]) & (ys <= box[3]))          # (win, win)
+        masked = jnp.where(inside[..., None], patch, -jnp.inf)
         flat = masked.reshape(-1, num_lm)
+        flat_patch = patch.reshape(-1, num_lm)
         idx = jnp.argmax(flat, axis=0)                      # (L,)
         peak_ok = jnp.isfinite(flat[idx, lane])             # any pixel inside?
-        ix = (idx % w).astype(jnp.float32)
-        iy = (idx // w).astype(jnp.float32)
+        ix = (x0 + idx % win).astype(jnp.float32)
+        iy = (y0 + idx // win).astype(jnp.float32)
 
         if subpixel:
             def at(dy, dx):
-                jx = jnp.clip(idx % w + dx, 0, w - 1)
-                jy = jnp.clip(idx // w + dy, 0, h - 1)
-                return flat_maps[jy * w + jx, lane]
+                jx = jnp.clip(idx % win + dx, 0, win - 1)
+                jy = jnp.clip(idx // win + dy, 0, win - 1)
+                return flat_patch[jy * win + jx, lane]
 
             c = at(0, 0)
             eps = 1e-6

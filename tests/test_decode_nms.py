@@ -254,3 +254,16 @@ def test_decode_landmarks_subpixel_refinement():
     pts0 = decode_landmarks(jnp.asarray(lm), boxes, jnp.array([True]),
                             stride=4, subpixel=False)
     assert float(pts0[0, 0, 0]) == 24.0
+
+
+def test_decode_landmarks_windowed_near_edge():
+    """The windowed search (memory fix: full-map masking is O(D*h*w*L) and
+    OOMed on TPU) must clamp its crop at map borders and still find an
+    in-box peak for a detection near the image edge."""
+    lm = np.zeros((64, 64, 1), np.float32)
+    lm[60, 61, 0] = 5.0          # orig (244, 240), inside the box
+    lm[30, 30, 0] = 9.0          # far outside; a clamped window never sees it
+    boxes = jnp.array([[232., 228., 252., 250.]])
+    pts = decode_landmarks(jnp.asarray(lm), boxes, jnp.array([True]),
+                           stride=4, window=16)
+    np.testing.assert_allclose(np.asarray(pts[0, 0]), [244., 240.], atol=1e-4)
