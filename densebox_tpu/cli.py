@@ -38,6 +38,8 @@ def _merged_infer_cfg(base, args) -> "InferCfg":
         over["approx_topk"] = bool(args.approx_topk)
     if args.nms_backend is not None:
         over["nms_backend"] = args.nms_backend
+    if args.lm_decode is not None:
+        over["lm_decode"] = args.lm_decode
     return dataclasses.replace(base, **over)
 
 
@@ -325,6 +327,12 @@ def _add_infer_flags(p) -> None:
                         "TPU; accuracy paths default to exact top-k)")
     p.add_argument("--nms-backend", choices=("auto", "jax", "pallas"),
                    default=None)
+    p.add_argument("--lm-decode", choices=("std", "source", "finest"),
+                   default=None,
+                   help="pyramid level for landmark decode per detection: "
+                        "std = scale bringing the box nearest the standard "
+                        "object height (best NME), source = detection's own "
+                        "scale, finest = largest scale")
 
 
 def main(argv=None) -> int:

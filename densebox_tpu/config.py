@@ -141,6 +141,20 @@ class InferCfg:
                                     # OFF so accuracy-measurement paths (eval
                                     # CLI, mAP parity) use exact top_k; the
                                     # throughput bench opts in explicitly.
+    lm_decode: str = "std"          # which pyramid scale's heatmap decodes a
+                                    # detection's landmarks:
+                                    # 'std' — per detection, the scale that
+                                    #   brings its box closest to the
+                                    #   standard object height, i.e. where
+                                    #   the landmark head was TRAINED to
+                                    #   respond (scale-banded GT): small
+                                    #   objects read finer maps, large ones
+                                    #   coarser. Best measured NME — see
+                                    #   BASELINE.md round-2 A/B.
+                                    # 'source' — the scale the detection was
+                                    #   found at (its strongest det score)
+                                    # 'finest' — always the largest scale
+                                    #   (off-band response; measured worse)
 
 
 @dataclasses.dataclass(frozen=True)

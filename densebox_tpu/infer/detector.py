@@ -53,6 +53,7 @@ def decode_landmarks(
     scale_y: float = 1.0,
     subpixel: bool = True,
     window: int = 32,
+    margin_px: float = 1.5,  # box dilation for the peak mask, in MAP pixels
 ) -> jnp.ndarray:
     """Per-detection landmark positions: masked argmax of each landmark
     heatmap inside the detection's box, quadratically refined to sub-pixel
@@ -85,13 +86,32 @@ def decode_landmarks(
               * stride / scale_x)[None, :]
         ys = ((y0 + jnp.arange(win)).astype(jnp.float32)
               * stride / scale_y)[:, None]
-        inside = ((xs >= box[0]) & (xs <= box[2]) &
-                  (ys >= box[1]) & (ys <= box[3]))          # (win, win)
-        masked = jnp.where(inside[..., None], patch, -jnp.inf)
+        # The peak SEARCH mask is the box dilated by ~1.5 map px: landmarks
+        # frequently sit ON the box boundary (corners, chin, ears — and the
+        # GT disc radius is ~1 map px), so a peak one map-px outside a
+        # slightly-tight predicted box would otherwise be masked out and
+        # argmax would grab interior noise (measured on the round-2
+        # certification checkpoint: NME 0.165 -> 0.115, BASELINE.md).
+        # The degenerate-box FALLBACK decision stays on the strict box.
+        mx = margin_px * stride / scale_x
+        my = margin_px * stride / scale_y
+        inside = ((xs >= box[0] - mx) & (xs <= box[2] + mx) &
+                  (ys >= box[1] - my) & (ys <= box[3] + my))  # (win, win)
+        strict = ((xs >= box[0]) & (xs <= box[2]) &
+                  (ys >= box[1]) & (ys <= box[3]))
+        # tiny centered prior (~1e-5 per map-px^2): ties on flat/zero heat
+        # resolve toward the box center instead of an arbitrary corner of
+        # the mask; never outweighs a real peak (GT discs are O(1))
+        dx_c = (xs - 0.5 * (box[0] + box[2])) * scale_x / stride
+        dy_c = (ys - 0.5 * (box[1] + box[3])) * scale_y / stride
+        prior = -1e-5 * (dx_c * dx_c + dy_c * dy_c)         # (win, win)
+        masked = jnp.where(inside[..., None], patch + prior[..., None],
+                           -jnp.inf)
         flat = masked.reshape(-1, num_lm)
         flat_patch = patch.reshape(-1, num_lm)
         idx = jnp.argmax(flat, axis=0)                      # (L,)
-        peak_ok = jnp.isfinite(flat[idx, lane])             # any pixel inside?
+        # fallback to the box center unless the strict box contains >=1 px
+        peak_ok = strict.any() & jnp.isfinite(flat[idx, lane])
         ix = (x0 + idx % win).astype(jnp.float32)
         iy = (y0 + idx // win).astype(jnp.float32)
 
@@ -200,6 +220,29 @@ def detect_batch(
     result = {"boxes": boxes, "scores": scores, "valid": valid}
 
     if lm_maps:
+        # Per-detection landmark scale selection (InferCfg.lm_decode):
+        #   'std'    — the scale bringing the box closest to the standard
+        #              object height: that's where the scale-banded GT
+        #              trained the landmark head to respond, so its peaks
+        #              are sharpest (measured A/B in BASELINE.md round 2).
+        #              Small objects read finer maps, large ones coarser.
+        #   'source' — the scale the detection was found at.
+        #   'finest' — always the largest scale (measured worse: objects
+        #              sit outside the trained scale band there).
+        if infer_cfg.lm_decode == "std":
+            heights = jnp.maximum(boxes[..., 3] - boxes[..., 1], 1e-6)
+            # apparent height at each level vs the trained standard height
+            mis = jnp.stack(
+                [jnp.abs(jnp.log(heights * sy / label_cfg.std_height_px))
+                 for _, (sx, sy) in lm_maps], axis=-1)      # (B, D, S)
+            sel = jnp.argmin(mis, axis=-1)
+        elif infer_cfg.lm_decode == "finest":
+            s_fine = max(range(len(lm_maps)),
+                         key=lambda s: lm_maps[s][1][0] * lm_maps[s][1][1])
+            sel = jnp.full(boxes.shape[:2], s_fine, jnp.int32)
+        else:   # 'source'
+            sel = src
+
         pts = jnp.zeros(boxes.shape[:2] + (lm_maps[0][0].shape[-1], 2),
                         jnp.float32)
         for s_idx, (lm, (sx, sy)) in enumerate(lm_maps):
@@ -208,8 +251,8 @@ def detect_batch(
                                         scale_x=sx, scale_y=sy)
 
             # decode_landmarks zeroes invalid slots, so the masked sum
-            # assembles each detection's own-scale result
-            pts = pts + jax.vmap(one_lm)(lm, boxes, valid & (src == s_idx))
+            # assembles each detection's chosen-scale result
+            pts = pts + jax.vmap(one_lm)(lm, boxes, valid & (sel == s_idx))
         result["lm_points"] = pts
     return result
 
