@@ -77,8 +77,11 @@ def _bench_train(args, model_cfg, batch: int, iters: int) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--width-mult", type=float, default=1.0)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default per preset: paper 64 / fast 128 / "
+                         "turbo 256 (slim configs need big batches to fill "
+                         "the MXU)")
+    ap.add_argument("--width-mult", type=float, default=None)
     ap.add_argument("--dtype", default="int8",
                     help="bfloat16 | float32 | int8 (PTQ production path)")
     ap.add_argument("--iters", type=int, default=8,
@@ -88,12 +91,14 @@ def main() -> None:
     ap.add_argument("--scales", default="1.0",
                     help="comma-separated pyramid scales")
     ap.add_argument("--landmarks", type=int, default=0)
-    ap.add_argument("--preset", default="fast", choices=["paper", "fast"],
-                    help="fast (default) = production config: s2d stem + "
-                         "depth-3 trunk + width 0.5; paper = exact DenseBox "
+    ap.add_argument("--preset", default="turbo",
+                    choices=["paper", "fast", "turbo"],
+                    help="turbo (default, the certified headline config — "
+                         "docs/QUALITY.md): s2d4 stem + depth-3 trunk + "
+                         "width 0.25; fast: s2d stem + width 0.5 (best-AP "
+                         "production config); paper: exact DenseBox "
                          "architecture (the 1e-4-parity config). See README "
-                         "for the measured v5e ladder (batch matters: slim "
-                         "configs need batch>=128 to fill the MXU).")
+                         "for the measured v5e ladder.")
     ap.add_argument("--qbackend", default="auto",
                     choices=["auto", "xla", "pallas"],
                     help="int8 conv backend: xla (lax convs) | pallas "
@@ -115,21 +120,25 @@ def main() -> None:
     from densebox_tpu.infer import detect_batch
     from densebox_tpu.models import DenseBox
 
+    # per-preset production defaults (measured + certified, BASELINE.md /
+    # docs/QUALITY.md); every knob individually overridable
+    preset = {"paper": dict(stem="conv", depth=4, wm=1.0, batch=64),
+              "fast": dict(stem="s2d", depth=3, wm=0.5, batch=128),
+              "turbo": dict(stem="s2d4", depth=3, wm=0.25, batch=256),
+              }[args.preset]
+
     h, w = (96, 128) if args.smoke else (480, 640)
-    batch = 2 if args.smoke else args.batch
-    wm = 0.125 if args.smoke else args.width_mult
+    batch = 2 if args.smoke else (args.batch or preset["batch"])
+    wm = 0.125 if args.smoke else (args.width_mult or preset["wm"])
     iters = 2 if args.smoke else args.iters
 
-    fast = args.preset == "fast" and not args.smoke
-    if fast and args.width_mult == 1.0:
-        wm = 0.5
     cfg = ModelCfg(num_landmarks=args.landmarks,
                    use_refine=args.landmarks > 0,
                    width_mult=wm,
                    compute_dtype=("bfloat16" if args.dtype == "int8"
                                   else args.dtype),
-                   stem=args.stem or ("s2d" if fast else "conv"),
-                   trunk_depth=args.trunk_depth or (3 if fast else 4))
+                   stem=args.stem or preset["stem"],
+                   trunk_depth=args.trunk_depth or preset["depth"])
     model = DenseBox(cfg)
     icfg = InferCfg(scales=tuple(float(s) for s in args.scales.split(",")),
                     score_thresh=0.5, topk_per_scale=256, max_dets=128,

@@ -43,6 +43,17 @@ def _merged_infer_cfg(base, args) -> "InferCfg":
     return dataclasses.replace(base, **over)
 
 
+def _parse_lm_anchors(spec):
+    """'0,0,1,0,1,1,0,1' -> ((0,0),(1,0),(1,1),(0,1)); None passes through."""
+    if not spec:
+        return None
+    vals = [float(v) for v in spec.split(",")]
+    if len(vals) % 2:
+        raise SystemExit("--lm-anchors needs an even number of values "
+                         "(ax,ay per landmark)")
+    return tuple((vals[i], vals[i + 1]) for i in range(0, len(vals), 2))
+
+
 def _build_cfg(args) -> "DenseBoxConfig":
     from densebox_tpu.config import (DenseBoxConfig, InferCfg, LabelCfg,
                                      ModelCfg, TrainCfg)
@@ -58,7 +69,8 @@ def _build_cfg(args) -> "DenseBoxConfig":
                        std_height_px=args.std_height,
                        lm_flip_perm=(tuple(int(i) for i in
                                      args.lm_flip_perm.split(","))
-                                     if args.lm_flip_perm else None)),
+                                     if args.lm_flip_perm else None),
+                       lm_anchors=_parse_lm_anchors(args.lm_anchors)),
         infer=_merged_infer_cfg(InferCfg(), args),
         train=TrainCfg(batch_size=args.batch_size,
                        learning_rate=args.lr,
@@ -142,6 +154,18 @@ def cmd_train(args) -> int:
     return 0
 
 
+def _maybe_override_label(cfg, args):
+    """Layer explicitly-passed label-metadata flags (detect/eval) over the
+    checkpoint's serialized LabelCfg."""
+    import dataclasses
+
+    if getattr(args, "lm_anchors", None):
+        cfg = dataclasses.replace(
+            cfg, label=dataclasses.replace(
+                cfg.label, lm_anchors=_parse_lm_anchors(args.lm_anchors)))
+    return cfg
+
+
 def cmd_detect(args) -> int:
     import cv2
     import jax.numpy as jnp
@@ -158,6 +182,7 @@ def cmd_detect(args) -> int:
         print(f"error: {e} — train first or point --workdir at a training "
               f"run", file=sys.stderr)
         return 2
+    cfg = _maybe_override_label(cfg, args)
     infer_model_cfg = cfg.model if args.dtype is None else \
         type(cfg.model)(**{**cfg.model.__dict__, "compute_dtype": args.dtype})
     model = DenseBox(infer_model_cfg)
@@ -204,6 +229,7 @@ def cmd_eval(args) -> int:
         print(f"error: {e} — train first or point --workdir at a training "
               f"run", file=sys.stderr)
         return 2
+    cfg = _maybe_override_label(cfg, args)
     model = DenseBox(cfg.model)
     if args.quantize:
         model, params = _quantize(params, cfg)
@@ -367,6 +393,11 @@ def main(argv=None) -> int:
     t.add_argument("--lm-flip-perm", default=None,
                    help="comma-separated landmark channel permutation under "
                         "horizontal flip, e.g. '1,0,3,2' for box corners")
+    t.add_argument("--lm-anchors", default=None,
+                   help="box-relative expected landmark positions, flat "
+                        "ax,ay list (e.g. '0,0,1,0,1,1,0,1' for corners); "
+                        "restricts each channel's decode-time peak search "
+                        "near its expected spot (serialized into ckpts)")
     t.add_argument("--max-boxes", type=int, default=16)
     t.add_argument("--canvas", type=int, nargs=2, default=(384, 1248),
                    help="host canvas H W for full images")
@@ -390,6 +421,9 @@ def main(argv=None) -> int:
                    help="override inference compute dtype (e.g. bfloat16)")
     d.add_argument("--quantize", action="store_true",
                    help="int8 post-training-quantized inference path")
+    d.add_argument("--lm-anchors", default=None,
+                   help="override the checkpoint's box-relative landmark "
+                        "anchors (flat ax,ay list)")
     _add_infer_flags(d)
     d.set_defaults(fn=cmd_detect)
 
@@ -405,6 +439,9 @@ def main(argv=None) -> int:
     e.add_argument("--quantize", action="store_true",
                    help="evaluate the int8 PTQ path (for bf16-vs-int8 "
                         "quality certification)")
+    e.add_argument("--lm-anchors", default=None,
+                   help="override the checkpoint's box-relative landmark "
+                        "anchors (flat ax,ay list)")
     _add_infer_flags(e)
     e.set_defaults(fn=cmd_eval)
 

@@ -78,6 +78,17 @@ class LabelCfg:
     # twins (found as NME 0.5 at round-1 scale). None = identity (only safe
     # for flip-symmetric landmark sets or hflip=False).
     lm_flip_perm: Optional[Tuple[int, ...]] = None
+    # Box-relative expected landmark positions ((ax, ay) in [0,1]^2 box
+    # coords per channel), e.g. 4 corners = ((0,0),(1,0),(1,1),(0,1)) or a
+    # canonical 5-point face layout. When set, the decode-time peak search
+    # for channel l is restricted to a disc around its expected position —
+    # this kills the NME tail from overlapping objects' peaks landing
+    # inside the box (measured in BASELINE.md round 2). None = search the
+    # whole (dilated) box.
+    lm_anchors: Optional[Tuple[Tuple[float, float], ...]] = None
+    lm_anchor_radius: float = 0.25  # search-disc radius around each anchor,
+                                    # as a fraction of the box diagonal
+                                    # (A/B'd on the round-2 cert checkpoint)
 
     @property
     def map_size(self) -> int:

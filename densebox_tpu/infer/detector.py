@@ -54,6 +54,8 @@ def decode_landmarks(
     subpixel: bool = True,
     window: int = 32,
     margin_px: float = 1.5,  # box dilation for the peak mask, in MAP pixels
+    anchors=None,            # optional (L, 2) box-relative expected positions
+    anchor_radius: float = 0.35,  # search-disc radius as a box-diag fraction
 ) -> jnp.ndarray:
     """Per-detection landmark positions: masked argmax of each landmark
     heatmap inside the detection's box, quadratically refined to sub-pixel
@@ -105,8 +107,23 @@ def decode_landmarks(
         dx_c = (xs - 0.5 * (box[0] + box[2])) * scale_x / stride
         dy_c = (ys - 0.5 * (box[1] + box[3])) * scale_y / stride
         prior = -1e-5 * (dx_c * dx_c + dy_c * dy_c)         # (win, win)
-        masked = jnp.where(inside[..., None], patch + prior[..., None],
-                           -jnp.inf)
+        allowed = inside[..., None]                          # (win, win, 1|L)
+        if anchors is not None:
+            # restrict channel l's search to a disc around its expected
+            # box-relative position: overlapping objects put THEIR corner/
+            # feature peaks inside this box, and an unrestricted argmax
+            # grabs them (the measured NME tail, BASELINE.md round 2)
+            aw_ = box[2] - box[0]
+            ah_ = box[3] - box[1]
+            ex = box[0] + anchors[:, 0] * aw_               # (L,) orig px
+            ey = box[1] + anchors[:, 1] * ah_
+            rad = jnp.maximum(anchor_radius
+                              * jnp.sqrt(aw_ * aw_ + ah_ * ah_),
+                              2.0 * stride / min(scale_x, scale_y))
+            d2 = ((xs[..., None] - ex) ** 2
+                  + (ys[..., None] - ey) ** 2)              # (win, win, L)
+            allowed = allowed & (d2 <= rad * rad)
+        masked = jnp.where(allowed, patch + prior[..., None], -jnp.inf)
         flat = masked.reshape(-1, num_lm)
         flat_patch = patch.reshape(-1, num_lm)
         idx = jnp.argmax(flat, axis=0)                      # (L,)
@@ -243,12 +260,17 @@ def detect_batch(
         else:   # 'source'
             sel = src
 
+        anchors = (jnp.asarray(label_cfg.lm_anchors, jnp.float32)
+                   if label_cfg.lm_anchors else None)
+        a_rad = label_cfg.lm_anchor_radius
         pts = jnp.zeros(boxes.shape[:2] + (lm_maps[0][0].shape[-1], 2),
                         jnp.float32)
         for s_idx, (lm, (sx, sy)) in enumerate(lm_maps):
             def one_lm(lm_, bx, vl, sx=sx, sy=sy):
                 return decode_landmarks(lm_, bx, vl, stride=stride,
-                                        scale_x=sx, scale_y=sy)
+                                        scale_x=sx, scale_y=sy,
+                                        anchors=anchors,
+                                        anchor_radius=a_rad)
 
             # decode_landmarks zeroes invalid slots, so the masked sum
             # assembles each detection's chosen-scale result

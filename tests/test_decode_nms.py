@@ -267,3 +267,24 @@ def test_decode_landmarks_windowed_near_edge():
     pts = decode_landmarks(jnp.asarray(lm), boxes, jnp.array([True]),
                            stride=4, window=16)
     np.testing.assert_allclose(np.asarray(pts[0, 0]), [244., 240.], atol=1e-4)
+
+
+def test_decode_landmarks_anchor_restricted_search():
+    """With box-relative anchors, a FOREIGN peak inside the box (e.g. an
+    overlapping object's corner) far from the channel's expected position
+    must be rejected in favor of the near-anchor peak — the measured NME
+    tail killer (BASELINE.md round 2)."""
+    lm = np.zeros((32, 32, 1), np.float32)
+    # channel 0 expects the TOP-LEFT corner of the box (anchor (0,0)).
+    lm[6, 6, 0] = 2.0    # near the TL corner of the box below — RIGHT
+    lm[18, 18, 0] = 9.0  # strong foreign peak inside the box — WRONG
+    boxes = jnp.array([[24., 24., 80., 80.]])   # map px 6..20
+    anchors = jnp.array([[0.0, 0.0]])
+    pts = decode_landmarks(jnp.asarray(lm), boxes, jnp.array([True]),
+                           stride=4, anchors=anchors)
+    np.testing.assert_allclose(np.asarray(pts[0, 0]), [24., 24.], atol=1e-4)
+    # without anchors the foreign peak wins (documents why anchors exist)
+    pts_free = decode_landmarks(jnp.asarray(lm), boxes, jnp.array([True]),
+                                stride=4)
+    np.testing.assert_allclose(np.asarray(pts_free[0, 0]), [72., 72.],
+                               atol=1e-4)
