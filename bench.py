@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 def _bench_train(args, model_cfg, batch: int, iters: int) -> None:
     """steps/sec of the full jitted train step, on-device end to end."""
-    from densebox_tpu.config import DenseBoxConfig, LabelCfg, TrainCfg
+    from densebox_tpu.config import (DenseBoxConfig, LabelCfg, LossCfg,
+                                     TrainCfg)
     from densebox_tpu.data import synthetic_batch
     from densebox_tpu.models import DenseBox
     from densebox_tpu.train import create_train_state
@@ -36,6 +37,7 @@ def _bench_train(args, model_cfg, batch: int, iters: int) -> None:
         model=model_cfg,
         label=LabelCfg(patch_size=patch,
                        std_height_px=50.0 * patch / 240),
+        loss=LossCfg(backend=args.ohem_backend),
         train=TrainCfg(batch_size=batch))
     canvas_cfg = LabelCfg(patch_size=2 * patch,
                           std_height_px=cfg.label.std_height_px)
@@ -99,6 +101,9 @@ def main() -> None:
                          "production config); paper: exact DenseBox "
                          "architecture (the 1e-4-parity config). See README "
                          "for the measured v5e ladder.")
+    ap.add_argument("--ohem-backend", default="auto",
+                    choices=["auto", "jax", "pallas"],
+                    help="OHEM selection backend for --mode train")
     ap.add_argument("--qbackend", default="auto",
                     choices=["auto", "xla", "pallas"],
                     help="int8 conv backend: xla (lax convs) | pallas "

@@ -120,8 +120,8 @@ class LossCfg:
     min_neg: int = 16               # negatives sampled even when a patch has no positives
     backend: str = "auto"           # OHEM selection: 'jax' (argsort ranks) |
                                     # 'pallas' (bisection-threshold kernel) |
-                                    # 'auto' (pallas on TPU, jax elsewhere —
-                                    # same semantics as labels/NMS dispatch)
+                                    # 'auto' = jax (measured faster in the
+                                    # full train step on v5e — ops/ohem.py)
 
 
 @dataclasses.dataclass(frozen=True)

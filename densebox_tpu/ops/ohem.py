@@ -76,7 +76,12 @@ def _cls_term(pred, gt, ignore, key, cfg):
     ign = (ignore > 0.5).reshape(b, -1)
     backend = cfg.backend
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "jax"
+        # Measured on v5e (round 2, full train step, fast w0.5 batch 128):
+        # jax argsort-rank twin 17.2 steps/s vs pallas bisection kernel
+        # 16.6 — the OHEM mask is a tiny slice of the step and the argsort
+        # twin fuses better into the surrounding graph, so 'auto' keeps the
+        # jax path. The kernel stays wired + tested (backend='pallas').
+        backend = "jax"
     if backend == "pallas":
         from densebox_tpu.ops.pallas.ohem import ohem_mask_pallas
 
