@@ -48,6 +48,21 @@ def test_spatial_s2d_stem():
                                    atol=2e-5)
 
 
+def test_spatial_s2d4_stem():
+    """Halo-exchange spatial sharding must also be exact for the
+    bandwidth-lean s2d4 stem (whole trunk at the output stride)."""
+    cfg = ModelCfg(stem="s2d4", trunk_depth=3, width_mult=0.125)
+    model = DenseBox(cfg)
+    x = jax.random.uniform(jax.random.key(4), (1, 128, 64, 3), jnp.float32)
+    params = model.init(jax.random.key(5), x)
+    want = model.apply(params, x)
+    mesh = make_mesh(n_data=8, n_model=1)
+    got = spatial_forward(params, x, cfg, mesh, axis_name="data")
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   atol=2e-5)
+
+
 def test_spatial_rejects_bad_height():
     cfg = ModelCfg(width_mult=0.125)
     model = DenseBox(cfg)
