@@ -1,0 +1,64 @@
+"""Capture a jax.profiler trace of the turbo pipeline and summarize the
+top device ops (ROADMAP #1: profile-driven next lever). Writes the raw
+trace under /tmp/densebox_profile and prints an aggregated table parsed
+from the trace.json.gz event stream."""
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+import jax.numpy as jnp
+
+from densebox_tpu.config import InferCfg, LabelCfg, ModelCfg
+from densebox_tpu.infer import detect_batch
+from densebox_tpu.models import DenseBox
+from densebox_tpu.models.quant import QuantDenseBox, quantize_densebox
+
+B, H, W = 256, 480, 640
+cfg = ModelCfg(width_mult=0.25, compute_dtype="bfloat16", stem="s2d4",
+               trunk_depth=3)
+icfg = InferCfg(scales=(1.0,), score_thresh=0.5, topk_per_scale=256,
+                max_dets=128, approx_topk=True)
+lcfg = LabelCfg()
+model = DenseBox(cfg)
+images = jax.random.uniform(jax.random.key(0), (B, H, W, 3), jnp.bfloat16)
+params = model.init(jax.random.key(1), jnp.zeros((1, 64, 64, 3), jnp.float32))
+qparams = quantize_densebox(params, cfg, images[:2].astype(jnp.float32))
+qmodel = QuantDenseBox(cfg)
+
+
+@jax.jit
+def pipeline(p, x):
+    out = detect_batch(qmodel, p, x, icfg, lcfg)
+    return sum(v.astype(jnp.float32).sum() for v in out.values())
+
+
+float(pipeline(qparams, images))           # compile + warm
+logdir = "/tmp/densebox_profile"
+with jax.profiler.trace(logdir):
+    for i in range(3):
+        float(pipeline(qparams, images))
+time.sleep(2)
+
+traces = sorted(glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True))
+print("trace files:", traces)
+if traces:
+    with gzip.open(traces[-1], "rt") as f:
+        data = json.load(f)
+    durs = defaultdict(float)
+    for ev in data.get("traceEvents", []):
+        if ev.get("ph") == "X" and "dur" in ev:
+            pid_name = ev.get("pid")
+            name = ev.get("name", "?")
+            durs[name] += ev["dur"]
+    top = sorted(durs.items(), key=lambda kv: -kv[1])[:30]
+    total = sum(durs.values())
+    print(f"total traced op-time: {total/1e3:.1f} ms (3 pipeline calls)")
+    for name, d in top:
+        print(f"{d/1e3:9.2f} ms  {100*d/total:5.1f}%  {name[:100]}")
