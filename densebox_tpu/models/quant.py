@@ -63,16 +63,21 @@ def _quant_act(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
                     -127, 127).astype(jnp.int8)
 
 
-def _int8_conv(x_q, wq, *, pad: int):
+def _int8_conv(x_q, wq, *, pad: int, out_dtype=jnp.int32):
+    """int8 conv; ``out_dtype`` picks the materialized accumulator type.
+    Profiling (BASELINE.md round 2) suggested the requant fusions are
+    bandwidth-bound on reading the int32 conv outputs; emitting bfloat16
+    (~0.3% relative output error) was measured at only ~1% e2e gain on the
+    turbo config, so int32 stays the default."""
     dn = lax.conv_dimension_numbers(x_q.shape, wq.shape,
                                     ("NHWC", "HWIO", "NHWC"))
     return lax.conv_general_dilated(
         x_q, wq, (1, 1), padding=((pad, pad), (pad, pad)),
-        dimension_numbers=dn, preferred_element_type=jnp.int32)
+        dimension_numbers=dn, preferred_element_type=out_dtype)
 
 
-def _forward(params, images, cfg: ModelCfg, *, taps=None, qparams=None
-             ) -> Dict[str, jnp.ndarray]:
+def _forward(params, images, cfg: ModelCfg, *, taps=None, qparams=None,
+             acc_dtype=jnp.int32) -> Dict[str, jnp.ndarray]:
     """One walk serves two masters: with ``taps`` (a dict) it runs the bf16
     reference forward recording each conv's input absmax (calibration);
     with ``qparams`` it runs the int8 path. Structure mirrors
@@ -85,7 +90,8 @@ def _forward(params, images, cfg: ModelCfg, *, taps=None, qparams=None
         if qparams is not None:
             q = qparams[name]
             xq = _quant_act(x, q["in_scale"])
-            y = _int8_conv(xq, q["w_q"], pad=pad).astype(jnp.float32)
+            y = _int8_conv(xq, q["w_q"], pad=pad,
+                           out_dtype=acc_dtype).astype(jnp.float32)
             y = y * (q["in_scale"] * q["w_scale"]) + q["bias"]
         else:
             taps[name] = jnp.max(jnp.abs(x)).astype(jnp.float32)
@@ -235,9 +241,11 @@ class QuantDenseBox:
     (fused conv+requant kernel, ops/pallas/qconv.py — activations stay int8
     in HBM), or 'auto' (measured policy; see BASELINE.md round-2 ladder)."""
 
-    def __init__(self, cfg: ModelCfg, backend: str = "auto"):
+    def __init__(self, cfg: ModelCfg, backend: str = "auto",
+                 acc_dtype: str = "auto"):
         self.cfg = cfg
         self.backend = backend
+        self.acc_dtype = acc_dtype
 
     def apply(self, qparams, images, train: bool = False, rngs=None):
         assert not train, "int8 path is inference-only"
@@ -246,6 +254,14 @@ class QuantDenseBox:
             # measured policy (BASELINE.md round-2): keep the XLA path as
             # the default until the fused kernel beats it on the ladder
             backend = "xla"
+        acc = self.acc_dtype
+        if acc == "auto":
+            # Measured (round 2, turbo @B256): bfloat16 conv outputs gain
+            # only ~1% e2e (6,045 vs 6,028 img/s — within noise), so the
+            # exact int32 accumulator stays the default. The knob remains
+            # for bandwidth-starved configs.
+            acc = "int32"
         if backend == "pallas":
             return _forward_fused(qparams, images, self.cfg)
-        return _forward(None, images, self.cfg, qparams=qparams)
+        return _forward(None, images, self.cfg, qparams=qparams,
+                        acc_dtype=jnp.dtype(acc))
