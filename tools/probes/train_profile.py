@@ -1,0 +1,63 @@
+"""Profile the jitted train step (fast w0.5, batch 128) and aggregate the
+top device ops — drives the train-path optimization (BASELINE.md)."""
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax
+import jax.numpy as jnp
+
+from densebox_tpu.config import DenseBoxConfig, LabelCfg, ModelCfg, TrainCfg
+from densebox_tpu.data import synthetic_batch
+from densebox_tpu.models import DenseBox
+from densebox_tpu.train import create_train_state
+from densebox_tpu.train.trainer import make_canvas_train_step
+
+batch, patch = 128, 240
+cfg = DenseBoxConfig(
+    model=ModelCfg(width_mult=0.5, compute_dtype="bfloat16", stem="s2d",
+                   trunk_depth=3),
+    label=LabelCfg(patch_size=patch),
+    train=TrainCfg(batch_size=batch))
+canvas_cfg = LabelCfg(patch_size=2 * patch)
+model = DenseBox(cfg.model)
+b = synthetic_batch(jax.random.key(0), batch, canvas_cfg, max_boxes=8)
+state = create_train_state(model, cfg, b["image"][:1, :patch, :patch])
+step = make_canvas_train_step(model, cfg)
+
+
+@jax.jit
+def one(state, b):
+    st, metrics = step(state, b)
+    return st, metrics["loss_total"]
+
+
+state, l0 = one(state, b)
+float(l0)
+logdir = "/tmp/densebox_train_profile"
+with jax.profiler.trace(logdir):
+    for _ in range(3):
+        state, l = one(state, b)
+    float(l)
+time.sleep(2)
+
+traces = sorted(glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True))
+print("trace files:", traces)
+if traces:
+    with gzip.open(traces[-1], "rt") as f:
+        data = json.load(f)
+    durs = defaultdict(float)
+    for ev in data.get("traceEvents", []):
+        if ev.get("ph") == "X" and "dur" in ev:
+            durs[ev.get("name", "?")] += ev["dur"]
+    top = sorted(durs.items(), key=lambda kv: -kv[1])[:35]
+    total = sum(durs.values())
+    print(f"total traced op-time: {total/1e3:.1f} ms (3 steps)")
+    for name, d in top:
+        print(f"{d/1e3:9.2f} ms  {100*d/total:5.1f}%  {name[:110]}")
