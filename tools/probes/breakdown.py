@@ -1,4 +1,10 @@
 """Component timing breakdown at the flagship bench config."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
 import time, json, sys
 import jax, jax.numpy as jnp
 

@@ -1,4 +1,10 @@
 """Per-section timing of the int8 forward (s2d4 flagship candidate)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
 import time, json
 import jax, jax.numpy as jnp
 

@@ -1,4 +1,10 @@
 """Dump per-landmark error distribution on the lm4 cert checkpoint."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
 import numpy as np, jax, jax.numpy as jnp
 from densebox_tpu.infer import make_detect_fn
 from densebox_tpu.models import DenseBox

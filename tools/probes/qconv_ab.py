@@ -1,5 +1,11 @@
 """Micro-bench: fused Pallas qconv vs the XLA int8 layer chain, plus the
 full fused model vs XLA int8 model (s2d4 flagship shapes)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
 import time, json
 import jax, jax.numpy as jnp
 
