@@ -43,7 +43,7 @@ def _merged_infer_cfg(base, args) -> "InferCfg":
     return dataclasses.replace(base, **over)
 
 
-def _parse_lm_anchors(spec):
+def _parse_lm_anchors(spec, num_landmarks=None):
     """'0,0,1,0,1,1,0,1' -> ((0,0),(1,0),(1,1),(0,1)); None passes through."""
     if not spec:
         return None
@@ -51,7 +51,11 @@ def _parse_lm_anchors(spec):
     if len(vals) % 2:
         raise SystemExit("--lm-anchors needs an even number of values "
                          "(ax,ay per landmark)")
-    return tuple((vals[i], vals[i + 1]) for i in range(0, len(vals), 2))
+    anchors = tuple((vals[i], vals[i + 1]) for i in range(0, len(vals), 2))
+    if num_landmarks is not None and len(anchors) != num_landmarks:
+        raise SystemExit(f"--lm-anchors has {len(anchors)} points but the "
+                         f"model has {num_landmarks} landmarks")
+    return anchors
 
 
 def _build_cfg(args) -> "DenseBoxConfig":
@@ -70,7 +74,8 @@ def _build_cfg(args) -> "DenseBoxConfig":
                        lm_flip_perm=(tuple(int(i) for i in
                                      args.lm_flip_perm.split(","))
                                      if args.lm_flip_perm else None),
-                       lm_anchors=_parse_lm_anchors(args.lm_anchors)),
+                       lm_anchors=_parse_lm_anchors(args.lm_anchors,
+                                                    args.landmarks)),
         infer=_merged_infer_cfg(InferCfg(), args),
         train=TrainCfg(batch_size=args.batch_size,
                        learning_rate=args.lr,
@@ -162,7 +167,8 @@ def _maybe_override_label(cfg, args):
     if getattr(args, "lm_anchors", None):
         cfg = dataclasses.replace(
             cfg, label=dataclasses.replace(
-                cfg.label, lm_anchors=_parse_lm_anchors(args.lm_anchors)))
+                cfg.label, lm_anchors=_parse_lm_anchors(
+                    args.lm_anchors, cfg.model.num_landmarks)))
     return cfg
 
 
@@ -187,6 +193,9 @@ def cmd_detect(args) -> int:
         type(cfg.model)(**{**cfg.model.__dict__, "compute_dtype": args.dtype})
     model = DenseBox(infer_model_cfg)
     if args.quantize:
+        if args.dtype is not None:
+            print("note: --dtype is ignored with --quantize (the int8 path "
+                  "has its own dtypes)", file=sys.stderr)
         model, params = _quantize(params, cfg)
     icfg = _merged_infer_cfg(cfg.infer, args)
     detect = make_detect_fn(model, icfg, cfg.label)
@@ -439,6 +448,10 @@ def main(argv=None) -> int:
     e.add_argument("--quantize", action="store_true",
                    help="evaluate the int8 PTQ path (for bf16-vs-int8 "
                         "quality certification)")
+    e.set_defaults(thresh=0.3)   # eval-specific: a low threshold keeps the
+                                 # PR curve's low-score tail so AP is not
+                                 # truncated by the checkpoint's detection
+                                 # threshold (0.5)
     e.add_argument("--lm-anchors", default=None,
                    help="override the checkpoint's box-relative landmark "
                         "anchors (flat ax,ay list)")

@@ -55,7 +55,8 @@ def decode_landmarks(
     window: int = 32,
     margin_px: float = 1.5,  # box dilation for the peak mask, in MAP pixels
     anchors=None,            # optional (L, 2) box-relative expected positions
-    anchor_radius: float = 0.35,  # search-disc radius as a box-diag fraction
+    anchor_radius: float = 0.25,  # search-disc radius as a box-diag fraction
+                                  # (matches LabelCfg.lm_anchor_radius)
 ) -> jnp.ndarray:
     """Per-detection landmark positions: masked argmax of each landmark
     heatmap inside the detection's box, quadratically refined to sub-pixel
@@ -65,29 +66,48 @@ def decode_landmarks(
     invalid detections; degenerate boxes spanning <1 map pixel fall back to
     the box center instead of silently decoding pixel (0,0)).
 
-    TPU memory discipline: the search runs inside a ``window``-sized crop
-    dynamically sliced around each box center — masking the FULL heatmap per
+    TPU memory discipline: the search runs inside ``window``-sized crops
+    dynamically sliced per landmark — masking the FULL heatmap per
     detection materializes a (D, h, w, L) tensor, which at pyramid scale
     1.41 of a 512px canvas is tens of GB for a 128-detection batch (found
-    as an HBM OOM in the round-2 eval). ``window=32`` map pixels covers
-    boxes up to 128 px at scale 1; larger boxes search a centered crop."""
+    as an HBM OOM in the round-2 eval). Each landmark's window is centered
+    on its expected position (its anchor when ``anchors`` is given, the box
+    center otherwise), so anchored decode stays correct for boxes larger
+    than the window; anchor-less boxes whose map span exceeds the window
+    fall back to the box center rather than returning a cropped-search
+    result as if it were a real peak."""
     h, w, num_lm = lm_map.shape
     win = int(min(window, h, w))
     lane = jnp.arange(num_lm)
+    maps_l = jnp.moveaxis(lm_map, 2, 0)                     # (L, h, w)
 
     def one_box(box, ok):
-        # window origin: box center in THIS scale's map coordinates
-        cx = 0.5 * (box[0] + box[2]) * scale_x / stride
-        cy = 0.5 * (box[1] + box[3]) * scale_y / stride
-        x0 = jnp.clip(jnp.floor(cx).astype(jnp.int32) - win // 2, 0, w - win)
-        y0 = jnp.clip(jnp.floor(cy).astype(jnp.int32) - win // 2, 0, h - win)
-        patch = lax.dynamic_slice(lm_map, (y0, x0, 0), (win, win, num_lm))
+        aw_ = box[2] - box[0]
+        ah_ = box[3] - box[1]
+        cx = 0.5 * (box[0] + box[2])
+        cy = 0.5 * (box[1] + box[3])
+        if anchors is not None:
+            ex = box[0] + anchors[:, 0] * aw_               # (L,) orig px
+            ey = box[1] + anchors[:, 1] * ah_
+        else:
+            ex = jnp.full((num_lm,), cx)
+            ey = jnp.full((num_lm,), cy)
 
-        # original-image coords of the window's pixels
-        xs = ((x0 + jnp.arange(win)).astype(jnp.float32)
-              * stride / scale_x)[None, :]
-        ys = ((y0 + jnp.arange(win)).astype(jnp.float32)
-              * stride / scale_y)[:, None]
+        # per-landmark window origin in this scale's map coordinates
+        x0 = jnp.clip(jnp.floor(ex * scale_x / stride).astype(jnp.int32)
+                      - win // 2, 0, w - win)               # (L,)
+        y0 = jnp.clip(jnp.floor(ey * scale_y / stride).astype(jnp.int32)
+                      - win // 2, 0, h - win)
+        patch = jax.vmap(
+            lambda m, yy, xx: lax.dynamic_slice(m, (yy, xx), (win, win))
+        )(maps_l, y0, x0)                                   # (L, win, win)
+
+        # original-image coords of each window's pixels
+        ar = jnp.arange(win)
+        xs = ((x0[:, None] + ar).astype(jnp.float32)
+              * stride / scale_x)[:, None, :]               # (L, 1, win)
+        ys = ((y0[:, None] + ar).astype(jnp.float32)
+              * stride / scale_y)[:, :, None]               # (L, win, 1)
         # The peak SEARCH mask is the box dilated by ~1.5 map px: landmarks
         # frequently sit ON the box boundary (corners, chin, ears — and the
         # GT disc radius is ~1 map px), so a peak one map-px outside a
@@ -98,37 +118,41 @@ def decode_landmarks(
         mx = margin_px * stride / scale_x
         my = margin_px * stride / scale_y
         inside = ((xs >= box[0] - mx) & (xs <= box[2] + mx) &
-                  (ys >= box[1] - my) & (ys <= box[3] + my))  # (win, win)
+                  (ys >= box[1] - my) & (ys <= box[3] + my))  # (L, win, win)
         strict = ((xs >= box[0]) & (xs <= box[2]) &
                   (ys >= box[1]) & (ys <= box[3]))
         # tiny centered prior (~1e-5 per map-px^2): ties on flat/zero heat
         # resolve toward the box center instead of an arbitrary corner of
         # the mask; never outweighs a real peak (GT discs are O(1))
-        dx_c = (xs - 0.5 * (box[0] + box[2])) * scale_x / stride
-        dy_c = (ys - 0.5 * (box[1] + box[3])) * scale_y / stride
-        prior = -1e-5 * (dx_c * dx_c + dy_c * dy_c)         # (win, win)
-        allowed = inside[..., None]                          # (win, win, 1|L)
+        dx_c = (xs - cx) * scale_x / stride
+        dy_c = (ys - cy) * scale_y / stride
+        prior = -1e-5 * (dx_c * dx_c + dy_c * dy_c)         # (L, win, win)
+        allowed = inside
         if anchors is not None:
             # restrict channel l's search to a disc around its expected
             # box-relative position: overlapping objects put THEIR corner/
             # feature peaks inside this box, and an unrestricted argmax
             # grabs them (the measured NME tail, BASELINE.md round 2)
-            aw_ = box[2] - box[0]
-            ah_ = box[3] - box[1]
-            ex = box[0] + anchors[:, 0] * aw_               # (L,) orig px
-            ey = box[1] + anchors[:, 1] * ah_
             rad = jnp.maximum(anchor_radius
                               * jnp.sqrt(aw_ * aw_ + ah_ * ah_),
                               2.0 * stride / min(scale_x, scale_y))
-            d2 = ((xs[..., None] - ex) ** 2
-                  + (ys[..., None] - ey) ** 2)              # (win, win, L)
+            d2 = ((xs - ex[:, None, None]) ** 2
+                  + (ys - ey[:, None, None]) ** 2)          # (L, win, win)
             allowed = allowed & (d2 <= rad * rad)
-        masked = jnp.where(allowed, patch + prior[..., None], -jnp.inf)
-        flat = masked.reshape(-1, num_lm)
-        flat_patch = patch.reshape(-1, num_lm)
-        idx = jnp.argmax(flat, axis=0)                      # (L,)
-        # fallback to the box center unless the strict box contains >=1 px
-        peak_ok = strict.any() & jnp.isfinite(flat[idx, lane])
+        masked = jnp.where(allowed, patch + prior, -jnp.inf)
+        flat = masked.reshape(num_lm, -1)                   # (L, win*win)
+        flat_patch = patch.reshape(num_lm, -1)
+        idx = jnp.argmax(flat, axis=1)                      # (L,)
+        # fall back to the box center unless the strict box contains >=1 px
+        # of the window AND (anchored, or the box fits the centered window —
+        # an anchor-less box bigger than the crop could hide its true peak
+        # outside the crop, and a cropped-search "max" must not masquerade
+        # as a real decode)
+        peak_ok = strict.any(axis=(1, 2)) & jnp.isfinite(flat[lane, idx])
+        if anchors is None:
+            span_ok = ((aw_ * scale_x / stride <= win) &
+                       (ah_ * scale_y / stride <= win))
+            peak_ok = peak_ok & span_ok
         ix = (x0 + idx % win).astype(jnp.float32)
         iy = (y0 + idx // win).astype(jnp.float32)
 
@@ -136,7 +160,7 @@ def decode_landmarks(
             def at(dy, dx):
                 jx = jnp.clip(idx % win + dx, 0, win - 1)
                 jy = jnp.clip(idx // win + dy, 0, win - 1)
-                return flat_patch[jy * win + jx, lane]
+                return flat_patch[lane, jy * win + jx]
 
             c = at(0, 0)
             eps = 1e-6
@@ -262,6 +286,10 @@ def detect_batch(
 
         anchors = (jnp.asarray(label_cfg.lm_anchors, jnp.float32)
                    if label_cfg.lm_anchors else None)
+        if anchors is not None and anchors.shape[0] != lm_maps[0][0].shape[-1]:
+            raise ValueError(
+                f"lm_anchors has {anchors.shape[0]} points but the model "
+                f"emits {lm_maps[0][0].shape[-1]} landmark channels")
         a_rad = label_cfg.lm_anchor_radius
         pts = jnp.zeros(boxes.shape[:2] + (lm_maps[0][0].shape[-1], 2),
                         jnp.float32)

@@ -158,16 +158,12 @@ def _forward_fused(qparams, images, cfg: ModelCfg) -> Dict[str, jnp.ndarray]:
     def in_scale(name):
         return q[name]["in_scale"]
 
-    def fused(x_q, name, nxt, *, relu=True, k3=True):
+    def fused(x_q, name, nxt, *, relu=True):
         """x_q int8 at in_scale(name) -> int8 at in_scale(nxt) (or f32)."""
-        del k3
         out_scale = (1.0 / in_scale(nxt)) if nxt is not None else None
         return qconv_int8(
-            x_q, _w4d(q[name]), in_scale(name) * q[name]["w_scale"],
+            x_q, q[name]["w_q"], in_scale(name) * q[name]["w_scale"],
             q[name]["bias"], out_scale, relu=relu)
-
-    def _w4d(entry):
-        return entry["w_q"]
 
     # trunk: quantize the input image once, then stay int8 end to end
     x_q = _quant_act(images.astype(jnp.float32), in_scale(convs[0]))

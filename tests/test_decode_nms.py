@@ -288,3 +288,23 @@ def test_decode_landmarks_anchor_restricted_search():
                                 stride=4)
     np.testing.assert_allclose(np.asarray(pts_free[0, 0]), [72., 72.],
                                atol=1e-4)
+
+
+def test_decode_landmarks_box_larger_than_window():
+    """Boxes spanning more than the search window: anchored decode centers
+    each landmark's window on its expected position and still finds the
+    true corner peak; anchor-less decode falls back to the box center
+    instead of passing off a cropped-search result as a real peak
+    (round-2 code-review repro)."""
+    lm = np.zeros((100, 100, 1), np.float32)
+    lm[13, 13, 0] = 5.0                      # TL corner of the box, orig (52,52)
+    boxes = jnp.array([[52., 52., 352., 352.]])   # spans 75 map px > window 32
+    anchors = jnp.array([[0.0, 0.0]])
+    pts = decode_landmarks(jnp.asarray(lm), boxes, jnp.array([True]),
+                           stride=4, window=32, anchors=anchors)
+    np.testing.assert_allclose(np.asarray(pts[0, 0]), [52., 52.], atol=1e-4)
+    # without anchors: centered 32-px crop cannot see the corner -> center
+    pts_free = decode_landmarks(jnp.asarray(lm), boxes, jnp.array([True]),
+                                stride=4, window=32)
+    np.testing.assert_allclose(np.asarray(pts_free[0, 0]), [202., 202.],
+                               atol=1e-4)
