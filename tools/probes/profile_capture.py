@@ -20,9 +20,16 @@ from densebox_tpu.infer import detect_batch
 from densebox_tpu.models import DenseBox
 from densebox_tpu.models.quant import QuantDenseBox, quantize_densebox
 
+import argparse
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--landmarks", type=int, default=0)
+_args = _ap.parse_args()
+
 B, H, W = 256, 480, 640
 cfg = ModelCfg(width_mult=0.25, compute_dtype="bfloat16", stem="s2d4",
-               trunk_depth=3)
+               trunk_depth=3, num_landmarks=_args.landmarks,
+               use_refine=_args.landmarks > 0)
 icfg = InferCfg(scales=(1.0,), score_thresh=0.5, topk_per_scale=256,
                 max_dets=128, approx_topk=True)
 lcfg = LabelCfg()
