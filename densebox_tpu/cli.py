@@ -40,6 +40,10 @@ def _merged_infer_cfg(base, args) -> "InferCfg":
         over["nms_backend"] = args.nms_backend
     if args.lm_decode is not None:
         over["lm_decode"] = args.lm_decode
+    if getattr(args, "lm_backend", None) is not None:
+        over["lm_backend"] = args.lm_backend
+    if getattr(args, "lm_topk", None) is not None:
+        over["lm_topk"] = args.lm_topk
     return dataclasses.replace(base, **over)
 
 
@@ -122,12 +126,21 @@ def cmd_train(args) -> int:
         from densebox_tpu.data.pipeline import PrefetchLoader
 
         samples = load_dataset(os.path.join(args.data_dir, "image_2"),
-                               os.path.join(args.data_dir, "label_2"))
+                               os.path.join(args.data_dir, "label_2"),
+                               num_landmarks=cfg.model.num_landmarks)
         print(f"loaded {len(samples)} samples from {args.data_dir}")
+        import jax
+
+        # multi-host: every process runs this same program; the loader
+        # shards each global batch by process and fit() reassembles via
+        # make_array_from_process_local_data (parallel/mesh.py)
         loader = PrefetchLoader(samples, cfg.train.batch_size,
                                 canvas_hw=tuple(args.canvas),
                                 max_boxes=cfg.train.max_boxes,
-                                seed=cfg.train.seed)
+                                seed=cfg.train.seed,
+                                num_landmarks=cfg.model.num_landmarks,
+                                num_shards=jax.process_count(),
+                                shard_index=jax.process_index())
         batches = iter(loader)
 
     from densebox_tpu.utils.logging import maybe_profile
@@ -275,15 +288,20 @@ def cmd_eval(args) -> int:
         from densebox_tpu.data.kitti import load_dataset
         from densebox_tpu.data.pipeline import canvas_batch
 
+        num_lm = cfg.model.num_landmarks
         samples = load_dataset(os.path.join(args.data_dir, "image_2"),
-                               os.path.join(args.data_dir, "label_2"))
+                               os.path.join(args.data_dir, "label_2"),
+                               num_landmarks=num_lm)
         for i in range(0, len(samples) - args.batch_size + 1,
                        args.batch_size):
             b = canvas_batch(samples[i:i + args.batch_size],
-                             tuple(args.canvas), max_boxes=64)
+                             tuple(args.canvas), max_boxes=64,
+                             num_landmarks=num_lm)
             dets = detect(params, jax.numpy.asarray(b["image"]))
             per_image += detections_to_numpy(dets, b["boxes"],
                                              b["box_valid"])
+            if num_lm and "lm_points" in dets and "landmarks" in b:
+                nme_samples += _match_landmarks(dets, b)
     res = evaluate_detections(per_image, iou_thresh=args.eval_iou)
     summary = {"ap@%.2f" % args.eval_iou: round(res["ap"], 4),
                "n_images": len(per_image),
@@ -295,7 +313,9 @@ def cmd_eval(args) -> int:
         pred = np.stack([s[0] for s in nme_samples])
         gt = np.stack([s[1] for s in nme_samples])
         norm = np.asarray([s[2] for s in nme_samples])
-        summary["landmark_nme"] = round(landmark_nme(pred, gt, norm), 4)
+        vis = np.stack([s[3] for s in nme_samples])
+        summary["landmark_nme"] = round(
+            landmark_nme(pred, gt, norm, mask=vis), 4)
         summary["n_lm_matched"] = len(nme_samples)
     print(json.dumps(summary))
     return 0
@@ -333,6 +353,8 @@ def _match_landmarks(dets, batch):
     gt_boxes = np.asarray(batch["boxes"])
     gt_valid = np.asarray(batch["box_valid"])
     gt_lms = np.asarray(batch["landmarks"])
+    gt_lm_valid = (np.asarray(batch["lm_valid"]) if "lm_valid" in batch
+                   else np.ones(gt_lms.shape[:3], bool))
     for i in range(boxes.shape[0]):
         gv = gt_valid[i]
         if not gv.any() or not valid[i].any():
@@ -348,7 +370,7 @@ def _match_landmarks(dets, batch):
             if ious[d, j] < 0.5:
                 continue
             h = gt_boxes[i, j, 3] - gt_boxes[i, j, 1]
-            out.append((lm_pts[i, d], gt_lms[i, j], h))
+            out.append((lm_pts[i, d], gt_lms[i, j], h, gt_lm_valid[i, j]))
     return out
 
 
@@ -369,6 +391,13 @@ def _add_infer_flags(p) -> None:
                         "TPU; accuracy paths default to exact top-k)")
     p.add_argument("--nms-backend", choices=("auto", "jax", "pallas"),
                    default=None)
+    p.add_argument("--lm-backend", choices=("auto", "jax", "pallas"),
+                   default=None,
+                   help="landmark window-gather backend (auto = the Pallas "
+                        "scalar-prefetch DMA kernel)")
+    p.add_argument("--lm-topk", type=int, default=None,
+                   help="decode landmarks for only the top-K detections by "
+                        "score (0 = all max_dets slots)")
     p.add_argument("--lm-decode", choices=("std", "source", "finest"),
                    default=None,
                    help="pyramid level for landmark decode per detection: "

@@ -152,6 +152,23 @@ class InferCfg:
                                     # OFF so accuracy-measurement paths (eval
                                     # CLI, mAP parity) use exact top_k; the
                                     # throughput bench opts in explicitly.
+    lm_topk: int = 64               # decode landmarks for only the top-K
+                                    # detections by score (NMS output is
+                                    # score-sorted, so this is a slice);
+                                    # lower slots get the invalid/center
+                                    # fallback with lm_valid=False. Same
+                                    # truncation class as pre_nms_topk:
+                                    # >64 landmark-bearing objects in one
+                                    # image can truncate. 0 = all max_dets
+                                    # slots (exact; quality-measurement
+                                    # paths that need every slot use it).
+    lm_backend: str = "auto"        # landmark window gather: 'pallas' (the
+                                    # scalar-prefetch DMA kernel — the
+                                    # measured TPU policy, see BASELINE.md
+                                    # round 3) | 'jax' (vmapped
+                                    # dynamic_slice twin; XLA lowers it to a
+                                    # sequential while loop on TPU — CPU/
+                                    # reference path) | 'auto' = pallas
     lm_decode: str = "std"          # which pyramid scale's heatmap decodes a
                                     # detection's landmarks:
                                     # 'std' — per detection, the scale that

@@ -37,6 +37,9 @@ def sample_patches(
     max_translate_frac: float = 0.25,
     hflip: bool = True,
     landmarks: Optional[jnp.ndarray] = None,   # (B, K, L, 2)
+    lm_valid: Optional[jnp.ndarray] = None,    # (B, K, L) per-landmark
+                                               # visibility (real datasets
+                                               # mark occluded keypoints)
 ) -> Dict[str, jnp.ndarray]:
     """One jitted patch-sampling step: full images -> training patches.
 
@@ -112,13 +115,18 @@ def sample_patches(
     if landmarks is not None:
         lm = (landmarks - jnp.stack([wx, wy], -1)[:, None, None]) * \
             scale[:, None, None, None]
+        lv = (jnp.broadcast_to(lm_valid, lm.shape[:3])
+              if lm_valid is not None
+              else jnp.ones(lm.shape[:3], bool))
         if hflip:
             flipped_lm = lm.at[..., 0].set(ps - 1 - lm[..., 0])
             # channel identity swap under mirror (cfg.lm_flip_perm):
             # left/right landmarks trade places, not just coordinates
             if cfg.lm_flip_perm is not None:
                 flipped_lm = flipped_lm[:, :, list(cfg.lm_flip_perm), :]
+                lv_flipped = lv[:, :, list(cfg.lm_flip_perm)]
+                lv = jnp.where(flip[:, None, None], lv_flipped, lv)
             lm = jnp.where(flip[:, None, None, None], flipped_lm, lm)
         out["landmarks"] = lm
-        out["lm_valid"] = jnp.broadcast_to(tv[..., None], lm.shape[:3])
+        out["lm_valid"] = tv[..., None] & lv
     return out

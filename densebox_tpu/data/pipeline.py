@@ -33,9 +33,12 @@ def _imread(path: str) -> np.ndarray:
 
 
 def canvas_batch(samples: Sequence[Sample], canvas_hw: Tuple[int, int],
-                 max_boxes: int) -> dict:
+                 max_boxes: int, num_landmarks: int = 0) -> dict:
     """Load + zero-pad images onto a fixed canvas; pad box tensors.
-    Images larger than the canvas are downscaled to fit (boxes follow)."""
+    Images larger than the canvas are downscaled to fit (boxes and
+    landmarks follow). With ``num_landmarks``, emits landmarks/lm_valid
+    lanes (invisible keypoints — coords < 0 in the annotation, see
+    data/kitti.py — get lm_valid False)."""
     import cv2
 
     hc, wc = canvas_hw
@@ -43,6 +46,8 @@ def canvas_batch(samples: Sequence[Sample], canvas_hw: Tuple[int, int],
     images = np.zeros((b, hc, wc, 3), np.float32)
     boxes = np.zeros((b, max_boxes, 4), np.float32)
     valid = np.zeros((b, max_boxes), bool)
+    lms = np.zeros((b, max_boxes, num_landmarks, 2), np.float32)
+    lm_valid = np.zeros((b, max_boxes, num_landmarks), bool)
     for i, s in enumerate(samples):
         img = _imread(s.image_path).astype(np.float32) / 255.0
         h, w = img.shape[:2]
@@ -56,7 +61,17 @@ def canvas_batch(samples: Sequence[Sample], canvas_hw: Tuple[int, int],
         if n:
             boxes[i, :n] = s.boxes[:n] * f
             valid[i, :n] = True
-    return {"image": images, "boxes": boxes, "box_valid": valid}
+            if num_landmarks and s.landmarks is not None and len(s.landmarks):
+                pts = s.landmarks[:n, :num_landmarks]
+                vis = (pts >= 0).all(axis=-1)
+                lms[i, :n, :pts.shape[1]] = np.where(
+                    vis[..., None], pts * f, 0.0)
+                lm_valid[i, :n, :pts.shape[1]] = vis
+    out = {"image": images, "boxes": boxes, "box_valid": valid}
+    if num_landmarks:
+        out["landmarks"] = lms
+        out["lm_valid"] = lm_valid
+    return out
 
 
 class PrefetchLoader:
@@ -66,7 +81,18 @@ class PrefetchLoader:
     def __init__(self, samples: List[Sample], batch_size: int,
                  canvas_hw: Tuple[int, int], max_boxes: int,
                  seed: int = 0, prefetch: int = 2,
-                 sharding: Optional[jax.sharding.Sharding] = None):
+                 sharding: Optional[jax.sharding.Sharding] = None,
+                 num_landmarks: int = 0,
+                 num_shards: int = 1, shard_index: int = 0):
+        """``batch_size`` is the GLOBAL batch; with ``num_shards`` > 1
+        (multi-host: one shard per process, seeded identically) each
+        process yields its ``batch_size / num_shards`` slice of every
+        global batch — the slices across processes partition exactly the
+        samples a single-process loader would draw, so
+        ``place_host_batch`` reassembles the same global batch."""
+        if batch_size % num_shards:
+            raise ValueError(f"global batch {batch_size} not divisible by "
+                             f"{num_shards} shards")
         self.samples = samples
         self.batch_size = batch_size
         self.canvas_hw = canvas_hw
@@ -74,15 +100,20 @@ class PrefetchLoader:
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
         self.sharding = sharding
+        self.num_landmarks = num_landmarks
+        self.num_shards = num_shards
+        self.shard_index = shard_index
 
     def _produce_batches(self) -> Iterator[dict]:
+        local = self.batch_size // self.num_shards
         while True:
             order = self.rng.permutation(len(self.samples))
             for i in range(0, len(order) - self.batch_size + 1,
                            self.batch_size):
+                lo = i + self.shard_index * local
                 batch = canvas_batch(
-                    [self.samples[j] for j in order[i:i + self.batch_size]],
-                    self.canvas_hw, self.max_boxes)
+                    [self.samples[j] for j in order[lo:lo + local]],
+                    self.canvas_hw, self.max_boxes, self.num_landmarks)
                 if self.sharding is not None:
                     batch = {k: jax.device_put(v, self.sharding)
                              for k, v in batch.items()}

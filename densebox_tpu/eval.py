@@ -116,13 +116,19 @@ def heatmap_mse(a: Dict, b: Dict) -> Dict[str, float]:
 
 
 def landmark_nme(pred_pts: np.ndarray, gt_pts: np.ndarray,
-                 norm: np.ndarray) -> float:
+                 norm: np.ndarray, mask: np.ndarray = None) -> float:
     """Normalized mean error — the standard landmark metric (paper §4
     evaluates landmark localization; NME is the modern formulation).
     pred/gt (N, L, 2); norm (N,) per-instance normalizer (e.g. box
-    height or inter-ocular distance)."""
+    height or inter-ocular distance); optional (N, L) bool mask excludes
+    invisible/unlabeled keypoints (real-data annotations, data/kitti.py)."""
     pred = np.asarray(pred_pts, np.float64)
     gt = np.asarray(gt_pts, np.float64)
     d = np.linalg.norm(pred - gt, axis=-1)            # (N, L)
-    return float(np.mean(d / np.maximum(
-        np.asarray(norm, np.float64)[:, None], 1e-9)))
+    e = d / np.maximum(np.asarray(norm, np.float64)[:, None], 1e-9)
+    if mask is not None:
+        m = np.asarray(mask, bool)
+        if not m.any():
+            return float("nan")
+        return float(e[m].mean())
+    return float(np.mean(e))

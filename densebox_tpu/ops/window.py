@@ -1,0 +1,58 @@
+"""Windowed heatmap gather: backend dispatch + pure-jax twin.
+
+``gather_windows`` extracts a fixed-size window per (detection, landmark)
+from the per-scale heatmap stack, reading each detection's SELECTED pyramid
+scale only (round-2 verdict: the all-scale masked-sum decode paid the
+window cost S times). The Pallas backend (ops/pallas/window.py) is the TPU
+hot path; the jax twin is the CPU/test reference and keeps the contract
+executable everywhere. Both return bit-identical copies of the same memory.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def gather_windows_jax(maps, sel, y0, x0, win: int) -> jnp.ndarray:
+    """vmapped dynamic_slice twin of the Pallas kernel. On TPU this lowers
+    to the sequential while-loop the kernel exists to avoid — reference and
+    fallback only. (B, D, 1) origins (shared across landmark channels)
+    slice all L channels in one dynamic_slice per detection."""
+    num_lm = maps.shape[2]
+    shared = y0.shape[2] == 1 and num_lm > 1
+
+    def one_batch(m, bsel, by0, bx0):     # m: (S, L, Hm, Wm)
+        def one_det(s, dy0, dx0):
+            if shared:
+                return lax.dynamic_slice(
+                    m, (s, 0, dy0[0], dx0[0]),
+                    (1, num_lm, win, win))[0]
+
+            def one_lm(l, y, x):
+                return lax.dynamic_slice(
+                    m, (s, l, y, x), (1, 1, win, win))[0, 0]
+
+            return jax.vmap(one_lm)(jnp.arange(num_lm), dy0, dx0)
+
+        return jax.vmap(one_det)(bsel, by0, bx0)
+
+    return jax.vmap(one_batch)(maps, sel, y0, x0)
+
+
+def gather_windows(maps, sel, y0, x0, win: int,
+                   backend: str = "auto") -> jnp.ndarray:
+    """(B, S, L, Hm, Wm) maps + (B, D) sel + (B, D, L) origins
+    -> (B, D, L, win, win) windows from each detection's selected scale.
+
+    Origins must already be clipped to [0, dim_s - win] of the selected
+    scale. backend: 'jax' | 'pallas' | 'auto' (= pallas: the kernel IS the
+    measured policy on TPU, and interpret-mode pallas elsewhere is fine)."""
+    if backend == "auto":
+        backend = "pallas"
+    if backend == "pallas":
+        from densebox_tpu.ops.pallas.window import gather_windows_pallas
+
+        return gather_windows_pallas(maps, sel, y0, x0, win)
+    return gather_windows_jax(maps, sel, y0, x0, win)

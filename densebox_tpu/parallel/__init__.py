@@ -3,6 +3,8 @@ from densebox_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     make_sharded_train_step,
     param_shardings,
+    place_host_batch,
+    place_host_state,
     shard_batch,
     state_shardings,
 )

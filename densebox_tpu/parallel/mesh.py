@@ -49,9 +49,38 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def place_host_batch(batch: Dict[str, jax.Array],
+                     sharding: NamedSharding) -> Dict[str, jax.Array]:
+    """Place a HOST-LOCAL batch onto the mesh with the given sharding.
+
+    Single-process: a plain sharded device_put. Multi-process: host-local
+    numpy arrays cannot be device_put onto a sharding spanning
+    non-addressable devices — each process holds only its shard of the
+    global batch (PrefetchLoader shards samples by process, round-2
+    verdict missing #3), and ``jax.make_array_from_process_local_data``
+    assembles the global array from the per-process pieces.
+    """
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+                for k, v in batch.items()}
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
 def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh) -> Dict[str, jax.Array]:
-    s = batch_sharding(mesh)
-    return {k: jax.device_put(v, s) for k, v in batch.items()}
+    return place_host_batch(batch, batch_sharding(mesh))
+
+
+def place_host_state(state: Any, shardings: Any) -> Any:
+    """Place a host-resident train state onto the mesh. Multi-process uses
+    ``make_array_from_process_local_data`` per leaf (for replicated
+    shardings every process's local data is the full array, which it
+    handles); single-process is a plain device_put."""
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda v, sh: jax.make_array_from_process_local_data(
+                sh, np.asarray(v)),
+            state, shardings)
+    return jax.device_put(state, shardings)
 
 
 def param_shardings(params: Any, mesh: Mesh, tensor_parallel: bool = False):
@@ -118,9 +147,9 @@ def make_sharded_train_step(model, cfg: DenseBoxConfig, mesh: Mesh,
     )
 
     def place_state(s):
-        return jax.device_put(s, st_sh)
+        return place_host_state(s, st_sh)
 
     def place_batch(b):
-        return {k: jax.device_put(v, b_sh) for k, v in b.items()}
+        return place_host_batch(b, b_sh)
 
     return step, place_state, place_batch

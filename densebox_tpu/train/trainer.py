@@ -41,7 +41,8 @@ def make_canvas_train_step(model: DenseBox, cfg: DenseBoxConfig,
         if sample_from_canvas:
             batch = sample_patches(
                 k_patch, batch["image"], batch["boxes"], batch["box_valid"],
-                cfg.label, landmarks=batch.get("landmarks"))
+                cfg.label, landmarks=batch.get("landmarks"),
+                lm_valid=batch.get("lm_valid"))
 
         gts = rasterize(
             batch["boxes"], batch["box_valid"], cfg.label,
@@ -113,15 +114,22 @@ def fit(
     first = fetch(0)
     state = init_state or create_train_state(model, cfg, first["image"][:1])
 
+    # single-writer discipline (SURVEY.md §6): every process participates
+    # in orbax saves (it coordinates multi-host internally), but console/
+    # TensorBoard output comes from the primary only
+    from densebox_tpu.parallel.multihost import is_primary
+
+    primary = is_primary()
     mngr = logger = None
     if workdir:
         mngr = ckpt_lib.make_manager(f"{workdir}/ckpt", cfg.train.ckpt_keep)
-        logger = MetricsLogger(f"{workdir}/tb")
+        logger = MetricsLogger(f"{workdir}/tb") if primary else None
         if resume:
             restored = ckpt_lib.restore_checkpoint(mngr, state)
             if restored is not None:
                 state = restored[0]
-                print(f"resumed from step {int(state.step)}", flush=True)
+                if primary:
+                    print(f"resumed from step {int(state.step)}", flush=True)
     if run_salt:
         state = state.replace(
             key=jax.random.fold_in(state.key, run_salt))
@@ -130,12 +138,18 @@ def fit(
 
     place_batch = lambda b: b  # noqa: E731
     n_dev = len(jax.devices())
-    if use_mesh and n_dev > 1 and first["image"].shape[0] % n_dev:
-        print(f"DP mesh disabled: batch {first['image'].shape[0]} not "
-              f"divisible by {n_dev} devices", flush=True)
+    # multi-host: `first` is this process's LOCAL batch; the global batch
+    # (local * process_count) must divide over all devices
+    global_batch = first["image"].shape[0] * jax.process_count()
+    if use_mesh and n_dev > 1 and global_batch % n_dev:
+        if primary:
+            print(f"DP mesh disabled: global batch {global_batch} not "
+                  f"divisible by {n_dev} devices", flush=True)
         use_mesh = False
     if use_mesh and n_dev > 1:
         from densebox_tpu.parallel import (batch_sharding, make_mesh,
+                                           place_host_batch,
+                                           place_host_state,
                                            state_shardings)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -144,9 +158,8 @@ def fit(
         b_sh = batch_sharding(mesh)
         step_fn = jax.jit(raw_step, in_shardings=(st_sh, b_sh),
                           out_shardings=(st_sh, NamedSharding(mesh, P())))
-        state = jax.device_put(state, st_sh)
-        place_batch = lambda b: {  # noqa: E731
-            k: jax.device_put(v, b_sh) for k, v in b.items()}
+        state = place_host_state(state, st_sh)
+        place_batch = lambda b: place_host_batch(b, b_sh)  # noqa: E731
     else:
         step_fn = jax.jit(raw_step)
 

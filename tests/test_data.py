@@ -56,7 +56,7 @@ def test_parse_skips_other_classes(tmp_path):
     p = tmp_path / "x.txt"
     p.write_text("Pedestrian 0 0 0 1 2 30 40 1 1 1 0 0 0 0\n"
                  + KITTI_LINE.format(x1=5, y1=6, x2=50, y2=60))
-    boxes = parse_label_file(str(p))
+    boxes, _ = parse_label_file(str(p))
     assert boxes.shape == (1, 4)
     np.testing.assert_allclose(boxes[0], [5, 6, 50, 60], atol=1e-3)
 
@@ -195,3 +195,69 @@ def test_prefetch_loader_propagates_producer_failure(tmp_path):
                             max_boxes=2)
     with pytest.raises(RuntimeError, match="producer thread failed"):
         next(iter(loader))
+
+
+def test_kitti_keypoint_extension_parsing(tmp_path):
+    """GT lines may append 'lx ly' pairs after the 15 standard KITTI
+    fields (the framework's landmark extension, data/kitti.py docstring);
+    coords < 0 mark invisible keypoints."""
+    lab = tmp_path / "000000.txt"
+    base = "Car 0.00 0 -1.58 {b} 1.57 1.73 4.15 1.00 1.75 13.22 -1.62"
+    lab.write_text("\n".join([
+        base.format(b="10 20 40 60") + " 10 20 40 20 40 60 10 60",
+        base.format(b="50 10 90 70") + " 50 10 -1 -1 90 70 50 70",
+        base.format(b="5 5 25 45"),          # no keypoints at all
+    ]))
+    from densebox_tpu.data.kitti import parse_label_file
+
+    boxes, lms = parse_label_file(str(lab), num_landmarks=4)
+    assert boxes.shape == (3, 4) and lms.shape == (3, 4, 2)
+    np.testing.assert_allclose(lms[0], [[10, 20], [40, 20], [40, 60],
+                                        [10, 60]])
+    assert (lms[1, 1] < 0).all()             # invisible marker preserved
+    assert (lms[2] < 0).all()                # absent extension -> invisible
+    # without the flag the landmark columns are ignored
+    boxes2, none = parse_label_file(str(lab))
+    assert none is None and boxes2.shape == (3, 4)
+
+
+def test_canvas_batch_carries_landmarks(tmp_path):
+    import cv2
+
+    from densebox_tpu.data.kitti import Sample
+
+    img_path = str(tmp_path / "a.png")
+    cv2.imwrite(img_path, np.zeros((100, 200, 3), np.uint8))
+    lms = np.array([[[20., 30.], [-1., -1.]]], np.float32)
+    s = Sample(image_path=img_path,
+               boxes=np.array([[10., 20., 60., 80.]], np.float32),
+               landmarks=lms)
+    # canvas smaller than the image: downscale factor f = 0.5 applies to
+    # boxes AND landmarks
+    b = canvas_batch([s], (50, 100), max_boxes=2, num_landmarks=2)
+    assert b["landmarks"].shape == (1, 2, 2, 2)
+    np.testing.assert_allclose(b["landmarks"][0, 0, 0], [10., 15.])
+    assert b["lm_valid"][0, 0, 0] and not b["lm_valid"][0, 0, 1]
+    np.testing.assert_allclose(b["boxes"][0, 0], [5., 10., 30., 40.])
+
+
+def test_sample_patches_respects_lm_valid():
+    """Occluded keypoints from the annotation must stay invalid through
+    on-device patch sampling (they feed the GT rasterizer's lm_valid)."""
+    cfg = LabelCfg(patch_size=32, std_height_px=16.0)
+    rng = np.random.RandomState(0)
+    img = rng.rand(4, 64, 64, 3).astype(np.float32)
+    boxes = np.tile(np.array([[[20., 20., 36., 36.]]], np.float32),
+                    (4, 1, 1))
+    lms = np.tile(np.array([[[[20., 20.], [36., 36.]]]], np.float32),
+                  (4, 1, 1, 1))
+    lm_valid = np.tile(np.array([[[True, False]]]), (4, 1, 1))
+    out = sample_patches(jax.random.key(0), jnp.asarray(img),
+                         jnp.asarray(boxes), jnp.ones((4, 1), bool), cfg,
+                         neg_frac=0.0, hflip=False,
+                         landmarks=jnp.asarray(lms),
+                         lm_valid=jnp.asarray(lm_valid))
+    lv = np.asarray(out["lm_valid"])
+    bv = np.asarray(out["box_valid"])
+    assert not lv[..., 1].any()
+    assert (lv[..., 0] == bv[:, 0]).all()
