@@ -140,15 +140,25 @@ def _forward(params, images, cfg: ModelCfg, *, taps=None, qparams=None,
     return out
 
 
-def _forward_fused(qparams, images, cfg: ModelCfg) -> Dict[str, jnp.ndarray]:
-    """Int8 forward over the fused Pallas conv+requant kernel
-    (ops/pallas/qconv.py): activations stay int8 in HBM between convs; the
+def _forward_fused(qparams, images, cfg: ModelCfg,
+                   conv_backend: str = "pallas") -> Dict[str, jnp.ndarray]:
+    """Int8 forward with int8 activations in HBM between convs; the
     int32/bf16 intermediates of the XLA path never exist. Numerically it is
     the same quantization chain as ``_forward(qparams=...)`` — each layer
     dequantizes with in_scale*w_scale, adds bias, ReLUs, and requantizes by
     the NEXT layer's calibrated input scale — so outputs agree with the XLA
-    int8 path up to f32-associativity in the epilogue."""
+    int8 path up to f32-associativity in the epilogue.
+
+    conv_backend:
+      'pallas' — fused Pallas conv+requant kernel (ops/pallas/qconv.py;
+                 measured slower than XLA convs, kept as a tested backend)
+      'hybrid' — XLA int8 convs (the measured winner) + requant-ONLY
+                 Pallas epilogue (ops/pallas/requant.py): one int32->int8
+                 pass per layer instead of the XLA chain's dequant-to-bf16
+                 + next-layer-quantize fusions (the ~25% clamp_convert
+                 bucket in the round-2 profile)."""
     from densebox_tpu.ops.pallas.qconv import qconv_int8
+    from densebox_tpu.ops.pallas.requant import requant_epilogue
 
     plan = trunk_plan(cfg)
     convs = [n for k, n, _ in plan if k == "conv"]
@@ -161,9 +171,14 @@ def _forward_fused(qparams, images, cfg: ModelCfg) -> Dict[str, jnp.ndarray]:
     def fused(x_q, name, nxt, *, relu=True):
         """x_q int8 at in_scale(name) -> int8 at in_scale(nxt) (or f32)."""
         out_scale = (1.0 / in_scale(nxt)) if nxt is not None else None
-        return qconv_int8(
-            x_q, q[name]["w_q"], in_scale(name) * q[name]["w_scale"],
-            q[name]["bias"], out_scale, relu=relu)
+        scale = in_scale(name) * q[name]["w_scale"]
+        if conv_backend == "hybrid":
+            acc = _int8_conv(x_q, q[name]["w_q"],
+                             pad=q[name]["w_q"].shape[0] // 2)
+            return requant_epilogue(acc, scale, q[name]["bias"], out_scale,
+                                    relu=relu)
+        return qconv_int8(x_q, q[name]["w_q"], scale,
+                          q[name]["bias"], out_scale, relu=relu)
 
     # trunk: quantize the input image once, then stay int8 end to end
     x_q = _quant_act(images.astype(jnp.float32), in_scale(convs[0]))
@@ -235,7 +250,9 @@ class QuantDenseBox:
 
     backend: 'xla' (lax int8 convs + fused elementwise requant), 'pallas'
     (fused conv+requant kernel, ops/pallas/qconv.py — activations stay int8
-    in HBM), or 'auto' (measured policy; see BASELINE.md round-2 ladder)."""
+    in HBM), 'hybrid' (XLA int8 convs + requant-only Pallas epilogue,
+    ops/pallas/requant.py), or 'auto' (measured policy; see BASELINE.md
+    ladders)."""
 
     def __init__(self, cfg: ModelCfg, backend: str = "auto",
                  acc_dtype: str = "auto"):
@@ -257,7 +274,8 @@ class QuantDenseBox:
             # exact int32 accumulator stays the default. The knob remains
             # for bandwidth-starved configs.
             acc = "int32"
-        if backend == "pallas":
-            return _forward_fused(qparams, images, self.cfg)
+        if backend in ("pallas", "hybrid"):
+            return _forward_fused(qparams, images, self.cfg,
+                                  conv_backend=backend)
         return _forward(None, images, self.cfg, qparams=qparams,
                         acc_dtype=jnp.dtype(acc))

@@ -101,3 +101,32 @@ def test_fused_pallas_backend_tracks_xla_backend():
                           - b[k].astype(jnp.float32)).max())
         s = float(jnp.abs(a[k]).max()) + 1e-6
         assert d / s < 0.15, (k, d, s)
+
+
+def test_hybrid_backend_matches_pallas_fused_chain():
+    """backend='hybrid' (XLA int8 convs + requant-only Pallas epilogue)
+    computes the SAME quantization chain as the fused Pallas path — same
+    int32 accumulation, same f32 epilogue, same round/clip — so outputs
+    must agree to accumulation-order noise (round-3 requant lever,
+    BASELINE.md)."""
+    import jax
+
+    from densebox_tpu.config import ModelCfg
+    from densebox_tpu.models import DenseBox
+    from densebox_tpu.models.quant import QuantDenseBox, quantize_densebox
+
+    cfg = ModelCfg(stem="s2d4", trunk_depth=2, width_mult=0.125,
+                   num_landmarks=3, use_refine=True,
+                   compute_dtype="bfloat16")
+    m = DenseBox(cfg)
+    x = jax.random.uniform(jax.random.key(0), (2, 32, 40, 3))
+    p = m.init(jax.random.key(1), x)
+    qp = quantize_densebox(p, cfg, x)
+    a = QuantDenseBox(cfg, backend="pallas").apply(qp, x)
+    b = QuantDenseBox(cfg, backend="hybrid").apply(qp, x)
+    assert set(a) == set(b)
+    for k in a:
+        d = float(jnp.abs(a[k].astype(jnp.float32)
+                          - b[k].astype(jnp.float32)).max())
+        s = float(jnp.abs(a[k]).max()) + 1e-6
+        assert d / s < 0.02, (k, d, s)
