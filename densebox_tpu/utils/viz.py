@@ -32,8 +32,14 @@ def draw_detections(image_rgb: np.ndarray, dets: Dict[str, np.ndarray],
         cv2.putText(img, score_fmt.format(float(scores[i])), (x1, max(y1 - 4, 10)),
                     cv2.FONT_HERSHEY_SIMPLEX, 0.45, _BOX, 1, cv2.LINE_AA)
         if lms is not None:
-            for (px, py) in np.asarray(lms[batch_index][i]).astype(int):
-                cv2.circle(img, (px, py), 2, _LM, -1)
+            lm_ok = dets.get("lm_valid")
+            pts = np.asarray(lms[batch_index][i]).astype(int)
+            for li, (px, py) in enumerate(pts):
+                # filled dot = real decode; hollow = center fallback
+                # (lm_valid bit from decode_landmarks_selected)
+                filled = lm_ok is None or bool(
+                    np.asarray(lm_ok[batch_index][i][li]))
+                cv2.circle(img, (px, py), 2, _LM, -1 if filled else 1)
     return img
 
 
