@@ -32,7 +32,7 @@ def _bench_train(args, model_cfg, batch: int, iters: int) -> None:
     from densebox_tpu.train import create_train_state
     from densebox_tpu.train.trainer import make_canvas_train_step
 
-    patch = 64 if args.smoke else 240
+    patch = 64 if args.smoke else args.patch
     cfg = DenseBoxConfig(
         model=model_cfg,
         label=LabelCfg(patch_size=patch,
@@ -98,6 +98,9 @@ def main() -> None:
     ap.add_argument("--scales", default="1.0",
                     help="comma-separated pyramid scales")
     ap.add_argument("--landmarks", type=int, default=0)
+    ap.add_argument("--patch", type=int, default=240,
+                    help="train-mode patch size (declared target config: "
+                         "240)")
     ap.add_argument("--preset", default="turbo",
                     choices=["paper", "fast", "turbo"],
                     help="turbo (default, the certified headline config — "

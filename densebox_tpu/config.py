@@ -206,6 +206,13 @@ class TrainCfg:
     ckpt_keep: int = 3
     log_every: int = 50
     label_backend: str = "auto"     # GT rasterizer: 'jax' | 'pallas' | 'auto'
+    rng_impl: str = "auto"          # per-step bulk-mask RNG: 'threefry' |
+    # 'rbg' | 'auto'. 'rbg' re-wraps the per-step dropout/OHEM keys onto
+    # JAX's rbg impl so the ~118M-element head dropout masks lower to the
+    # TPU hardware RngBitGenerator instead of fused threefry rounds
+    # (measured round 3, fast w0.5/B128: 58.2 -> 48.4 ms/step). 'auto' =
+    # 'rbg' on TPU, 'threefry' elsewhere (CPU test goldens unchanged).
+    # state.key itself stays threefry2x32 — checkpoint format unchanged.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -31,6 +31,30 @@ class TrainState(struct.PyTreeNode):
     key: jax.Array
 
 
+def mask_rng_key(key: jax.Array, impl: str) -> jax.Array:
+    """Re-wrap a per-step key for the *bulk* random-bit draws (dropout
+    masks, OHEM sampling noise).
+
+    ``state.key`` stays threefry2x32 so the checkpoint key format and the
+    fold_in/split stream structure never change; only the leaf keys that
+    actually generate mask-sized bit tensors are re-wrapped. With
+    impl='rbg' those draws lower to XLA RngBitGenerator (TPU hardware RNG)
+    instead of ~118M-element fused threefry rounds — measured (round 3,
+    fast w0.5/B128 train step): 58.2 -> 48.4 ms/step. 'auto' resolves to
+    'rbg' on TPU and 'threefry' elsewhere, keeping CPU test goldens
+    bit-identical to rounds 1-2.
+    """
+    if impl == "auto":
+        impl = "rbg" if jax.default_backend() == "tpu" else "threefry"
+    if impl == "threefry":
+        return key
+    # threefry key data is 2x uint32; the rbg family wants 4. Tiling is an
+    # arbitrary deterministic injection — any distinct seed word pair gives
+    # an independent hardware-RNG stream.
+    return jax.random.wrap_key_data(
+        jnp.tile(jax.random.key_data(key), 2), impl=impl)
+
+
 def make_optimizer(cfg: DenseBoxConfig) -> optax.GradientTransformation:
     tcfg = cfg.train
     schedule = optax.exponential_decay(
@@ -70,6 +94,8 @@ def make_train_step(model, cfg: DenseBoxConfig):
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         step_key = jax.random.fold_in(state.key, state.step)
         k_drop, k_loss = jax.random.split(step_key)
+        k_drop = mask_rng_key(k_drop, cfg.train.rng_impl)
+        k_loss = mask_rng_key(k_loss, cfg.train.rng_impl)
 
         gts = rasterize(
             batch["boxes"], batch["box_valid"], cfg.label,

@@ -22,6 +22,7 @@ from densebox_tpu.models import DenseBox
 from densebox_tpu.ops.labels import rasterize
 from densebox_tpu.ops.ohem import densebox_loss
 from densebox_tpu.train import checkpoint as ckpt_lib
+from densebox_tpu.train import loop as loop_lib
 from densebox_tpu.train.loop import (TrainState, create_train_state,
                                      make_optimizer)
 from densebox_tpu.utils.logging import MetricsLogger
@@ -37,6 +38,10 @@ def make_canvas_train_step(model: DenseBox, cfg: DenseBoxConfig,
                    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         step_key = jax.random.fold_in(state.key, state.step)
         k_patch, k_drop, k_loss = jax.random.split(step_key, 3)
+        # Bulk-mask keys only; k_patch (a handful of crop offsets) stays
+        # threefry. See loop.mask_rng_key for the measured policy.
+        k_drop = loop_lib.mask_rng_key(k_drop, cfg.train.rng_impl)
+        k_loss = loop_lib.mask_rng_key(k_loss, cfg.train.rng_impl)
 
         if sample_from_canvas:
             batch = sample_patches(

@@ -83,6 +83,53 @@ def test_train_step_deterministic():
     assert max(jax.tree.leaves(diffs)) == 0.0
 
 
+def test_mask_rng_key_policy():
+    """rng_impl='threefry' is the identity; 'rbg' yields a usable 4-word
+    hardware-RNG key that is deterministic in the source key; 'auto' off-TPU
+    resolves to threefry (so CPU goldens from rounds 1-2 are unchanged)."""
+    from densebox_tpu.train.loop import mask_rng_key
+
+    k = jax.random.key(7)
+    assert mask_rng_key(k, "threefry") is k
+    # auto on this (CPU) test backend must be the identity too
+    assert mask_rng_key(k, "auto") is k
+    r = mask_rng_key(k, "rbg")
+    assert jax.random.key_data(r).shape[-1] == 4
+    # deterministic derivation + a working draw
+    r2 = mask_rng_key(jax.random.key(7), "rbg")
+    a = jax.random.bernoulli(r, 0.5, (64,))
+    b = jax.random.bernoulli(r2, 0.5, (64,))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # distinct source keys give distinct streams
+    r3 = mask_rng_key(jax.random.key(8), "rbg")
+    c = jax.random.bernoulli(r3, 0.5, (64,))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+@pytest.mark.slow
+def test_train_step_runs_with_rbg_impl():
+    """A full train step under rng_impl='rbg' (the TPU auto winner) is
+    finite and deterministic on any backend."""
+    from densebox_tpu.models import DenseBox
+
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, rng_impl="rbg"))
+    model = DenseBox(cfg.model)
+    batch = synthetic_batch(jax.random.key(0), 4, cfg.label, max_boxes=3)
+    step = jax.jit(make_train_step(model, cfg))
+    s1 = create_train_state(model, cfg, batch["image"])
+    s2 = create_train_state(model, cfg, batch["image"])
+    o1, m1 = step(s1, batch)
+    o2, m2 = step(s2, batch)
+    assert np.isfinite(float(m1["loss_total"]))
+    assert float(m1["loss_total"]) == float(m2["loss_total"])
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        o1.params, o2.params)
+    assert max(jax.tree.leaves(diffs)) == 0.0
+
+
 def test_optimizer_clips_exploding_gradients():
     """Production-scale guard: the initial multi-task L2 loss is large, and
     unclipped SGD NaN'd within 5 steps at lr 3e-3 (found on TPU). The

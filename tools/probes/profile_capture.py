@@ -24,13 +24,18 @@ import argparse
 
 _ap = argparse.ArgumentParser()
 _ap.add_argument("--landmarks", type=int, default=0)
+_ap.add_argument("--batch", type=int, default=256)
+_ap.add_argument("--scales", default="1.0",
+                 help="comma-separated pyramid scales (4-scale residual "
+                      "probe: 0.5,0.71,1.0,1.41)")
 _args = _ap.parse_args()
 
-B, H, W = 256, 480, 640
+B, H, W = _args.batch, 480, 640
 cfg = ModelCfg(width_mult=0.25, compute_dtype="bfloat16", stem="s2d4",
                trunk_depth=3, num_landmarks=_args.landmarks,
                use_refine=_args.landmarks > 0)
-icfg = InferCfg(scales=(1.0,), score_thresh=0.5, topk_per_scale=256,
+icfg = InferCfg(scales=tuple(float(s) for s in _args.scales.split(",")),
+                score_thresh=0.5, topk_per_scale=256,
                 max_dets=128, approx_topk=True)
 lcfg = LabelCfg()
 model = DenseBox(cfg)
