@@ -112,6 +112,10 @@ def main() -> None:
     ap.add_argument("--ohem-backend", default="auto",
                     choices=["auto", "jax", "pallas"],
                     help="OHEM selection backend for --mode train")
+    ap.add_argument("--up-int8", default="auto",
+                    choices=["auto", "on", "off"], type=str,
+                    help="int8-in/int8-out skip upsample (A/B knob; "
+                         "measured policy in BASELINE.md)")
     ap.add_argument("--qbackend", default="auto",
                     choices=["auto", "xla", "pallas", "hybrid"],
                     help="int8 conv backend: xla (lax convs) | pallas "
@@ -174,7 +178,8 @@ def main() -> None:
 
         params = quantize_densebox(
             params, cfg, images[:2].astype(jnp.float32))
-        model = QuantDenseBox(cfg, backend=args.qbackend)
+        model = QuantDenseBox(cfg, backend=args.qbackend,
+                              up_int8=args.up_int8)
 
     @jax.jit
     def pipeline_loop(p, x):

@@ -77,19 +77,33 @@ def _int8_conv(x_q, wq, *, pad: int, out_dtype=jnp.int32):
 
 
 def _forward(params, images, cfg: ModelCfg, *, taps=None, qparams=None,
-             acc_dtype=jnp.int32) -> Dict[str, jnp.ndarray]:
+             acc_dtype=jnp.int32, up_int8=False) -> Dict[str, jnp.ndarray]:
     """One walk serves two masters: with ``taps`` (a dict) it runs the bf16
     reference forward recording each conv's input absmax (calibration);
     with ``qparams`` it runs the int8 path. Structure mirrors
-    DenseBox.__call__ exactly (inference mode, no dropout)."""
+    DenseBox.__call__ exactly (inference mode, no dropout).
+
+    The skip-fusion ``feat`` tensor is quantized ONCE and shared by every
+    head's conv1: all head conv1 input scales are calibrated from the same
+    feat tensor, so they are equal by construction (asserted in
+    quantize_densebox) and per-head re-quantization is a redundant
+    full-feat clamp/convert pass (2-3x feat traffic in the round-2/3
+    profiles' clamp_convert bucket).
+
+    ``up_int8``: run the x2 skip upsample int8-in/int8-out — quantize f4 at
+    its own calibrated scale at LOW resolution, interp-matmul the s8 codes
+    in bf16 with the rescale-to-feat-scale + round/clamp fused into the
+    epilogue. Quartered upsample HBM traffic for <=1-LSB extra quant noise
+    (measured A/B + cert deltas in BASELINE.md round 3)."""
     plan = trunk_plan(cfg)
     f3_tap = [n for k, n, _ in plan
               if k == "conv" and n.startswith("conv3")][-1]
 
-    def conv(x, name, pad, relu=True):
+    def conv(x, name, pad, relu=True, xq=None):
         if qparams is not None:
             q = qparams[name]
-            xq = _quant_act(x, q["in_scale"])
+            if xq is None:
+                xq = _quant_act(x, q["in_scale"])
             y = _int8_conv(xq, q["w_q"], pad=pad,
                            out_dtype=acc_dtype).astype(jnp.float32)
             y = y * (q["in_scale"] * q["w_scale"]) + q["bias"]
@@ -120,10 +134,32 @@ def _forward(params, images, cfg: ModelCfg, *, taps=None, qparams=None,
             x = lax.reduce_window(x, -jnp.inf, lax.max,
                                   (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
-    feat = jnp.concatenate([f3, upsample2x_align_corners(x)], axis=-1)
+    if taps is not None:
+        # calibrate the pre-upsample skip tensor's own scale (up_int8 path)
+        taps["__f4__"] = jnp.max(jnp.abs(x)).astype(jnp.float32)
+
+    feat = featq = None
+    if qparams is None:
+        feat = jnp.concatenate([f3, upsample2x_align_corners(x)], axis=-1)
+    else:
+        s_feat = qparams["det/det_conv1"]["in_scale"]
+        f4_scale = qparams.get("f4_scale") if up_int8 else None
+        if f4_scale is not None:
+            # int8-in/int8-out upsample: quantize f4 at LOW resolution with
+            # its own calibrated scale, interp the codes in bf16, fold the
+            # rescale-to-feat-scale + round/clamp into the matmul epilogue.
+            f4q = _quant_act(x, f4_scale)
+            up = upsample2x_align_corners(f4q.astype(_GLUE))
+            upq = jnp.clip(
+                jnp.round(up.astype(jnp.float32) * (f4_scale / s_feat)),
+                -127, 127).astype(jnp.int8)
+            featq = jnp.concatenate([_quant_act(f3, s_feat), upq], axis=-1)
+        else:
+            feat = jnp.concatenate([f3, upsample2x_align_corners(x)], -1)
+            featq = _quant_act(feat, s_feat)
 
     def head(prefix):
-        h = conv(feat, f"{prefix}/{prefix}_conv1", pad=0)
+        h = conv(feat, f"{prefix}/{prefix}_conv1", pad=0, xq=featq)
         return conv(h, f"{prefix}/{prefix}_conv2", pad=0, relu=False)
 
     out = {"score": head("det").astype(jnp.float32),
@@ -241,6 +277,14 @@ def quantize_densebox(params, cfg: ModelCfg, calib_images: jnp.ndarray):
             "in_scale": jnp.maximum(taps[name] / 127.0, 1e-12),
             "bias": jnp.asarray(p["bias"], jnp.float32),
         }
+    # pre-upsample skip scale for the int8-upsample path (_forward up_int8)
+    qparams["f4_scale"] = jnp.maximum(taps["__f4__"] / 127.0, 1e-12)
+    # the shared-feat quantize in _forward uses det_conv1's scale for every
+    # head; all head conv1 taps read the same feat tensor, so they must be
+    # equal — guard the invariant at calibration time (eager, cheap)
+    head_taps = [float(taps[f"{p}/{p}_conv1"]) for p in ("det", "loc", "lm")
+                 if f"{p}/{p}_conv1" in taps]
+    assert all(t == head_taps[0] for t in head_taps[1:]), head_taps
     return qparams
 
 
@@ -255,10 +299,11 @@ class QuantDenseBox:
     ladders)."""
 
     def __init__(self, cfg: ModelCfg, backend: str = "auto",
-                 acc_dtype: str = "auto"):
+                 acc_dtype: str = "auto", up_int8: str = "auto"):
         self.cfg = cfg
         self.backend = backend
         self.acc_dtype = acc_dtype
+        self.up_int8 = up_int8
 
     def apply(self, qparams, images, train: bool = False, rngs=None):
         assert not train, "int8 path is inference-only"
@@ -277,5 +322,15 @@ class QuantDenseBox:
         if backend in ("pallas", "hybrid"):
             return _forward_fused(qparams, images, self.cfg,
                                   conv_backend=backend)
+        up = self.up_int8
+        if up == "auto":
+            # measured policy (round-3 A/B, turbo @B256): int8-in/int8-out
+            # upsample = 5,525 img/s vs 6,252 with the bf16 upsample —
+            # the extra round/clamp pass breaks XLA's upsample fusion and
+            # costs more than the HBM traffic it saves. REJECTED; kept as
+            # a tested backend (up_int8='on'). BASELINE.md round 3.
+            up = False
+        elif up in ("on", "off"):
+            up = up == "on"
         return _forward(None, images, self.cfg, qparams=qparams,
-                        acc_dtype=jnp.dtype(acc))
+                        acc_dtype=jnp.dtype(acc), up_int8=bool(up))

@@ -16,6 +16,34 @@ from densebox_tpu.models import DenseBox
 from densebox_tpu.models.quant import QuantDenseBox, quantize_densebox
 
 
+def test_int8_upsample_tracks_bf16_upsample():
+    """up_int8 (quantize-f4-then-interp, round-3 bandwidth lever) stays
+    within ~1 LSB of the bf16-upsample int8 path: the only new error is f4
+    pre-quantization noise carried through the convex interp + the double
+    rounding, both bounded by the feat quantization step."""
+    cfg = ModelCfg(num_landmarks=3, use_refine=True, width_mult=0.125)
+    model = DenseBox(cfg)
+    x = jax.random.uniform(jax.random.key(0), (2, 64, 64, 3))
+    params = model.init(jax.random.key(1), x)
+    qparams = quantize_densebox(params, cfg, x)
+    assert "f4_scale" in qparams
+
+    off = QuantDenseBox(cfg, up_int8="off").apply(qparams, x)
+    on = QuantDenseBox(cfg, up_int8="on").apply(qparams, x)
+    assert set(on) == set(off)
+    for k in off:
+        a, b = np.asarray(off[k]), np.asarray(on[k])
+        scale = np.abs(a).max() + 1e-6
+        rel = np.abs(a - b).max() / scale
+        assert rel < 0.05, f"head {k}: up_int8 deviates {rel:.3f}"
+    # legacy qparams without the calibration entry fall back cleanly
+    legacy = {k: v for k, v in qparams.items() if k != "f4_scale"}
+    out = QuantDenseBox(cfg).apply(legacy, x)
+    for k in off:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(off[k]),
+                                   atol=1e-5)
+
+
 @pytest.mark.slow
 def test_quant_outputs_track_float():
     cfg = ModelCfg(num_landmarks=3, use_refine=True, width_mult=0.125)
