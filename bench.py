@@ -22,6 +22,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from densebox_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def _bench_train(args, model_cfg, batch: int, iters: int) -> None:
     """steps/sec of the full jitted train step, on-device end to end."""

@@ -238,6 +238,16 @@ def cmd_detect(args) -> int:
         out_path = os.path.join(args.out, os.path.basename(path))
         save_image(out_path, vis)
         print(f"  wrote {out_path}")
+        if args.save_kitti:
+            from densebox_tpu.data.kitti import write_result_file
+
+            os.makedirs(args.save_kitti, exist_ok=True)
+            stem = os.path.splitext(os.path.basename(path))[0]
+            v = dets["valid"][0]
+            txt = os.path.join(args.save_kitti, stem + ".txt")
+            write_result_file(txt, dets["boxes"][0][v],
+                              dets["scores"][0][v])
+            print(f"  wrote {txt}")
     return 0
 
 
@@ -287,6 +297,7 @@ def cmd_eval(args) -> int:
     detect = make_detect_fn(model, icfg, cfg.label)
 
     per_image = []
+    kitti_items = []
     nme_samples = []
     if args.synthetic:
         from densebox_tpu.data import synthetic_batch
@@ -315,8 +326,23 @@ def cmd_eval(args) -> int:
                              tuple(args.canvas), max_boxes=64,
                              num_landmarks=num_lm)
             dets = detect(params, jax.numpy.asarray(b["image"]))
-            per_image += detections_to_numpy(dets, b["boxes"],
-                                             b["box_valid"])
+            d_np = detections_to_numpy(dets, b["boxes"], b["box_valid"])
+            per_image += d_np
+            if args.protocol == "kitti":
+                # official protocol runs in ORIGINAL image coordinates:
+                # difficulty bins are defined on annotation-pixel heights,
+                # so predictions map back through the canvas scale factor
+                for k, s in enumerate(samples[i:i + args.batch_size]):
+                    f = float(b["scale"][k])
+                    item = {"pred_boxes": d_np[k]["pred_boxes"] / f,
+                            "pred_scores": d_np[k]["pred_scores"],
+                            "gt_boxes": s.boxes}
+                    for key, v in (("gt_truncation", s.truncation),
+                                   ("gt_occlusion", s.occlusion),
+                                   ("dontcare", s.dontcare)):
+                        if v is not None:
+                            item[key] = v
+                    kitti_items.append(item)
             if num_lm and "lm_points" in dets and "landmarks" in b:
                 nme_samples += _match_landmarks(dets, b)
     res = evaluate_detections(per_image, iou_thresh=args.eval_iou)
@@ -324,6 +350,17 @@ def cmd_eval(args) -> int:
                "n_images": len(per_image),
                "n_gt": int(res["n_gt"]),
                "n_pred": int(res["n_pred"])}
+    if args.protocol == "kitti":
+        from densebox_tpu.eval import evaluate_kitti
+
+        # synthetic eval has no truncation/occlusion metadata -> every GT
+        # is fully visible and bins differ only by height
+        kres = evaluate_kitti(kitti_items or per_image, iou_thresh=0.7)
+        for d in ("easy", "moderate", "hard"):
+            v = kres[f"ap_{d}"]
+            summary[f"kitti_ap_{d}@0.70"] = (round(v, 4)
+                                             if v == v else None)
+            summary[f"kitti_n_gt_{d}"] = int(kres[f"n_gt_{d}"])
     if nme_samples:
         from densebox_tpu.eval import landmark_nme
 
@@ -530,6 +567,9 @@ def main(argv=None) -> int:
     d.add_argument("--workdir", required=True)
     d.add_argument("--image", nargs="+", required=True)
     d.add_argument("--out", default="detections")
+    d.add_argument("--save-kitti", default=None, metavar="DIR",
+                   help="also write per-image KITTI result txts (the "
+                        "official devkit format) into DIR")
     d.add_argument("--dtype", default=None,
                    help="override inference compute dtype (e.g. bfloat16)")
     d.add_argument("--quantize", action="store_true",
@@ -554,6 +594,13 @@ def main(argv=None) -> int:
                    help="synthetic eval batches")
     e.add_argument("--canvas", type=int, nargs=2, default=(384, 1248))
     e.add_argument("--eval-iou", type=float, default=0.5)
+    e.add_argument("--protocol", default="voc", choices=["voc", "kitti"],
+                   help="voc: continuous-interpolation AP at --eval-iou; "
+                        "kitti: the official devkit protocol — AP|R40 at "
+                        "IoU 0.7 per difficulty bin (easy/moderate/hard "
+                        "over bbox height, occlusion, truncation), with "
+                        "ignore + DontCare semantics, evaluated in "
+                        "original-image coordinates (eval.py)")
     e.add_argument("--quantize", action="store_true",
                    help="evaluate the int8 PTQ path (for bf16-vs-int8 "
                         "quality certification); real-data eval calibrates "

@@ -43,6 +43,7 @@ def canvas_batch(samples: Sequence[Sample], canvas_hw: Tuple[int, int],
 
     hc, wc = canvas_hw
     b = len(samples)
+    scales = np.ones((b,), np.float32)
     images = np.zeros((b, hc, wc, 3), np.float32)
     boxes = np.zeros((b, max_boxes, 4), np.float32)
     valid = np.zeros((b, max_boxes), bool)
@@ -57,6 +58,7 @@ def canvas_batch(samples: Sequence[Sample], canvas_hw: Tuple[int, int],
                              interpolation=cv2.INTER_AREA)
             h, w = img.shape[:2]
         images[i, :h, :w] = img
+        scales[i] = f
         n = min(len(s.boxes), max_boxes)
         if n:
             boxes[i, :n] = s.boxes[:n] * f
@@ -67,7 +69,8 @@ def canvas_batch(samples: Sequence[Sample], canvas_hw: Tuple[int, int],
                 lms[i, :n, :pts.shape[1]] = np.where(
                     vis[..., None], pts * f, 0.0)
                 lm_valid[i, :n, :pts.shape[1]] = vis
-    out = {"image": images, "boxes": boxes, "box_valid": valid}
+    out = {"image": images, "boxes": boxes, "box_valid": valid,
+           "scale": scales}   # image->canvas factor; eval maps preds back
     if num_landmarks:
         out["landmarks"] = lms
         out["lm_valid"] = lm_valid

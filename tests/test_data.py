@@ -261,3 +261,39 @@ def test_sample_patches_respects_lm_valid():
     bv = np.asarray(out["box_valid"])
     assert not lv[..., 1].any()
     assert (lv[..., 0] == bv[:, 0]).all()
+
+
+def test_kitti_meta_parsing(tmp_path):
+    """Truncation/occlusion columns + DontCare regions surface through
+    parse_label_file(return_meta=True) and load_dataset (the fields the
+    official eval protocol bins by — eval.py::evaluate_kitti)."""
+    import cv2
+    from densebox_tpu.data.kitti import load_dataset, parse_label_file
+
+    (tmp_path / "image_2").mkdir()
+    (tmp_path / "label_2").mkdir()
+    label = "\n".join([
+        "Car 0.20 1 -1.58 10.0 10.0 60.0 60.0 1.6 1.7 4.2 1 1 13 -1.6",
+        "DontCare -1 -1 -10 90.0 5.0 120.0 25.0 -1 -1 -1 -1000 -1000 -1000 -10",
+        "Van 0.00 2 -1.58 70.0 10.0 95.0 40.0 1.6 1.7 4.2 1 1 13 -1.6",
+    ])
+    (tmp_path / "label_2" / "000000.txt").write_text(label)
+    cv2.imwrite(str(tmp_path / "image_2" / "000000.png"),
+                np.zeros((80, 130, 3), np.uint8))
+
+    boxes, _, meta = parse_label_file(
+        str(tmp_path / "label_2" / "000000.txt"), return_meta=True)
+    assert boxes.shape == (2, 4)
+    assert np.allclose(meta["truncation"], [0.20, 0.00])
+    assert meta["occlusion"].tolist() == [1, 2]
+    assert meta["dontcare"].tolist() == [[90.0, 5.0, 120.0, 25.0]]
+
+    s = load_dataset(str(tmp_path / "image_2"), str(tmp_path / "label_2"))[0]
+    assert s.occlusion.tolist() == [1, 2]
+    assert s.dontcare.shape == (1, 4)
+
+    # canvas_batch reports the image->canvas scale factor (eval maps
+    # predictions back to original coordinates for the KITTI protocol)
+    from densebox_tpu.data.pipeline import canvas_batch
+    b = canvas_batch([s], canvas_hw=(40, 65), max_boxes=4)
+    assert abs(b["scale"][0] - 0.5) < 1e-6

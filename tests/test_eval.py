@@ -97,3 +97,91 @@ def test_landmark_nme():
     gt = np.array([[[0., 0.], [10., 0.]]])
     pred = np.array([[[3., 4.], [10., 0.]]])  # one 5px error, one exact
     assert landmark_nme(pred, gt, np.array([10.0])) == pytest.approx(0.25)
+
+
+# --- official KITTI protocol (eval.py::evaluate_kitti) ------------------
+
+def test_ap_r40_perfect_and_empty():
+    from densebox_tpu.eval import average_precision_r40
+    assert average_precision_r40(
+        np.array([0.9, 0.8]), np.array([True, True]), 2) == pytest.approx(1.0)
+    assert average_precision_r40(np.zeros(0), np.zeros(0, bool), 2) == 0.0
+    assert np.isnan(average_precision_r40(np.zeros(0), np.zeros(0, bool), 0))
+
+
+def test_match_image_kitti_ignore_semantics():
+    """Dets matching ignored GTs / DontCare / sub-min-height are neither
+    TP nor FP; only real misses count as FP (devkit semantics)."""
+    from densebox_tpu.eval import match_image_kitti
+
+    gt = np.array([[0., 0., 50., 50.],      # relevant
+                   [100., 0., 110., 10.]])  # ignored (e.g. too small)
+    ignored = np.array([False, True])
+    dontcare = np.array([[200., 200., 260., 260.]])
+    pred = np.array([
+        [0., 0., 50., 50.],        # TP on the relevant GT
+        [100., 0., 110., 10.],     # matches ignored GT -> dropped
+        [205., 205., 255., 255.],  # inside DontCare -> dropped
+        [300., 300., 310., 310.],  # unmatched, height 10 < 25 -> dropped
+        [400., 300., 440., 340.],  # unmatched, height 40 -> FP
+    ])
+    scores = np.array([0.9, 0.8, 0.7, 0.6, 0.5])
+    s, tp, n_gt = match_image_kitti(pred, scores, gt, ignored, dontcare,
+                                    iou_thresh=0.5, min_height=25.0)
+    assert n_gt == 1
+    assert s.tolist() == pytest.approx([0.9, 0.5])
+    assert tp.tolist() == [True, False]
+
+
+def test_match_image_kitti_prefers_relevant_gt():
+    """A det overlapping both a relevant and an ignored GT above threshold
+    must claim the relevant one (even at lower IoU), not vanish."""
+    from densebox_tpu.eval import match_image_kitti
+
+    gt = np.array([[0., 0., 40., 40.],    # relevant
+                   [2., 2., 40., 40.]])   # ignored, slightly better IoU
+    ignored = np.array([False, True])
+    pred = np.array([[1., 1., 40., 40.]])
+    s, tp, n_gt = match_image_kitti(pred, np.array([0.9]), gt, ignored,
+                                    np.zeros((0, 4)), 0.5, 25.0)
+    assert tp.tolist() == [True] and n_gt == 1
+
+
+def test_evaluate_kitti_difficulty_bins():
+    """Bin membership over (height, occlusion, truncation): each harder
+    bin adds its GTs to n_gt, and out-of-bin GTs absorb their matching
+    dets without penalizing AP."""
+    from densebox_tpu.eval import evaluate_kitti
+
+    gt = np.array([[0., 0., 50., 50.],        # easy (h=50, occ 0)
+                   [100., 0., 130., 30.],     # moderate (h=30, occ 1)
+                   [200., 0., 230., 30.],     # hard (h=30, occ 2)
+                   [300., 0., 320., 20.]])    # ignored everywhere (h=20)
+    item = {
+        "pred_boxes": gt.copy(),              # perfect det on every GT
+        "pred_scores": np.array([0.9, 0.8, 0.7, 0.6]),
+        "gt_boxes": gt,
+        "gt_truncation": np.zeros(4),
+        "gt_occlusion": np.array([0, 1, 2, 0]),
+        "dontcare": np.zeros((0, 4)),
+    }
+    res = evaluate_kitti([item], iou_thresh=0.7)
+    assert res["n_gt_easy"] == 1
+    assert res["n_gt_moderate"] == 2
+    assert res["n_gt_hard"] == 3
+    for d in ("easy", "moderate", "hard"):
+        assert res[f"ap_{d}"] == pytest.approx(1.0)
+
+
+def test_evaluate_kitti_truncation_bins():
+    from densebox_tpu.eval import evaluate_kitti
+
+    gt = np.array([[0., 0., 50., 50.]])
+    item = {"pred_boxes": gt.copy(), "pred_scores": np.array([0.9]),
+            "gt_boxes": gt, "gt_truncation": np.array([0.4]),
+            "gt_occlusion": np.zeros(1, np.int64)}
+    res = evaluate_kitti([item])
+    # truncation 0.4 > 0.30 excludes moderate; within hard's 0.50
+    assert res["n_gt_easy"] == 0 and res["n_gt_moderate"] == 0
+    assert res["n_gt_hard"] == 1
+    assert res["ap_hard"] == pytest.approx(1.0)

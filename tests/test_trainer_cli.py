@@ -91,13 +91,25 @@ def test_cli_train_then_detect(tmp_path, capsys):
     cv2.imwrite(img_path, img)
 
     out_dir = str(tmp_path / "dets")
+    kitti_dir = str(tmp_path / "results")
     rc = main(["detect", "--workdir", workdir, "--image", img_path,
                "--out", out_dir, "--scales", "1.0", "--thresh", "-1000",
-               "--max-dets", "4"])
+               "--max-dets", "4", "--save-kitti", kitti_dir])
     assert rc == 0
     out = capsys.readouterr().out
     assert "detections" in out
     assert os.path.exists(os.path.join(out_dir, "scene.png"))
+
+    # KITTI result txt: devkit 16-column format, round-trips through our
+    # own parser (data/kitti.py::write_result_file)
+    from densebox_tpu.data.kitti import parse_label_file
+
+    res = os.path.join(kitti_dir, "scene.txt")
+    assert os.path.exists(res)
+    lines = open(res).read().strip().splitlines()
+    assert all(len(ln.split()) == 16 for ln in lines)
+    boxes, _ = parse_label_file(res)
+    assert boxes.shape == (len(lines), 4)
 
 
 @pytest.mark.slow
@@ -232,6 +244,22 @@ def test_cli_train_eval_on_kitti_dir(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert '"n_gt"' in out and '"ap@0.50"' in out
+
+    # official KITTI protocol over the same checkpoint: fixture objects are
+    # 18-26 px tall (< the 25 px moderate/hard bound), so every GT lands in
+    # the ignored set -> n_gt 0 and null APs; the big-box file below is
+    # covered by the dedicated difficulty-bin unit tests (test_eval.py)
+    rc = main(["eval", "--workdir", workdir, "--data-dir", str(root),
+               "--batch-size", "2", "--canvas", "128", "160",
+               "--scales", "1.0", "--thresh", "-1000",
+               "--protocol", "kitti"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"kitti_ap_moderate@0.70"' in out
+    import json as _json
+    summary = _json.loads(out.strip().splitlines()[-1])
+    assert summary["kitti_n_gt_easy"] == 0
+    assert summary["kitti_ap_easy@0.70"] is None
 
 
 @pytest.mark.slow

@@ -8,6 +8,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 import time, json
 import jax, jax.numpy as jnp
 
+from densebox_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from densebox_tpu.config import ModelCfg
 from densebox_tpu.models import DenseBox
 from densebox_tpu.models.quant import (QuantDenseBox, quantize_densebox,

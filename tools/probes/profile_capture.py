@@ -15,6 +15,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import jax
 import jax.numpy as jnp
 
+from densebox_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from densebox_tpu.config import InferCfg, LabelCfg, ModelCfg
 from densebox_tpu.infer import detect_batch
 from densebox_tpu.models import DenseBox
@@ -64,13 +68,24 @@ if traces:
     with gzip.open(traces[-1], "rt") as f:
         data = json.load(f)
     durs = defaultdict(float)
+    host_markers = (".py", "jit_", "PjitFunction", "np.asarray", "$",
+                    "pipeline")
     for ev in data.get("traceEvents", []):
         if ev.get("ph") == "X" and "dur" in ev:
-            pid_name = ev.get("pid")
             name = ev.get("name", "?")
+            if any(m in name for m in host_markers):
+                continue        # host-side / whole-program rows
             durs[name] += ev["dur"]
-    top = sorted(durs.items(), key=lambda kv: -kv[1])[:30]
+    top = sorted(durs.items(), key=lambda kv: -kv[1])[:50]
     total = sum(durs.values())
-    print(f"total traced op-time: {total/1e3:.1f} ms (3 pipeline calls)")
+    print(f"total device op-time: {total/1e3:.1f} ms (3 pipeline calls)")
     for name, d in top:
         print(f"{d/1e3:9.2f} ms  {100*d/total:5.1f}%  {name[:100]}")
+    # category rollup: which bucket owns the time
+    cats = defaultdict(float)
+    for name, d in durs.items():
+        base = name.split(".")[0]
+        cats[base] += d
+    print("--- by op category ---")
+    for name, d in sorted(cats.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"{d/1e3:9.2f} ms  {100*d/total:5.1f}%  {name[:60]}")

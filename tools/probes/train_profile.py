@@ -13,6 +13,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import jax
 import jax.numpy as jnp
 
+from densebox_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from densebox_tpu.config import DenseBoxConfig, LabelCfg, ModelCfg, TrainCfg
 from densebox_tpu.data import synthetic_batch
 from densebox_tpu.models import DenseBox
