@@ -120,6 +120,11 @@ def main() -> None:
                     choices=["auto", "on", "off"], type=str,
                     help="int8-in/int8-out skip upsample (A/B knob; "
                          "measured policy in BASELINE.md)")
+    ap.add_argument("--head-fuse", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="single concatenated head-conv1 over the shared "
+                         "int8 feat (A/B knob; measured policy in "
+                         "BASELINE.md)")
     ap.add_argument("--qbackend", default="auto",
                     choices=["auto", "xla", "pallas", "hybrid"],
                     help="int8 conv backend: xla (lax convs) | pallas "
@@ -183,7 +188,8 @@ def main() -> None:
         params = quantize_densebox(
             params, cfg, images[:2].astype(jnp.float32))
         model = QuantDenseBox(cfg, backend=args.qbackend,
-                              up_int8=args.up_int8)
+                              up_int8=args.up_int8,
+                              head_fuse=args.head_fuse)
 
     @jax.jit
     def pipeline_loop(p, x):

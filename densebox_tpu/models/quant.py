@@ -77,7 +77,8 @@ def _int8_conv(x_q, wq, *, pad: int, out_dtype=jnp.int32):
 
 
 def _forward(params, images, cfg: ModelCfg, *, taps=None, qparams=None,
-             acc_dtype=jnp.int32, up_int8=False) -> Dict[str, jnp.ndarray]:
+             acc_dtype=jnp.int32, up_int8=False,
+             head_fuse=False) -> Dict[str, jnp.ndarray]:
     """One walk serves two masters: with ``taps`` (a dict) it runs the bf16
     reference forward recording each conv's input absmax (calibration);
     with ``qparams`` it runs the int8 path. Structure mirrors
@@ -158,8 +159,32 @@ def _forward(params, images, cfg: ModelCfg, *, taps=None, qparams=None,
             feat = jnp.concatenate([f3, upsample2x_align_corners(x)], -1)
             featq = _quant_act(feat, s_feat)
 
+    prefixes = ["det", "loc"] + (["lm"] if cfg.num_landmarks else [])
+    hidden = {}
+    if qparams is not None and head_fuse:
+        # every head's conv1 is a 1x1 conv over the SAME int8 feat tensor
+        # (~1 GB/call at turbo shapes): concatenating the weights along
+        # Cout runs ONE conv that reads feat once instead of len(heads)
+        # times, and merges the dequant+ReLU epilogues. Per-output-channel
+        # w_scale/bias concat keeps the math bit-identical per channel.
+        qs = [qparams[f"{p}/{p}_conv1"] for p in prefixes]
+        wcat = jnp.concatenate([q["w_q"] for q in qs], axis=-1)
+        scat = jnp.concatenate([q["in_scale"] * q["w_scale"] for q in qs])
+        bcat = jnp.concatenate([q["bias"] for q in qs])
+        y = _int8_conv(featq, wcat, pad=0,
+                       out_dtype=acc_dtype).astype(jnp.float32)
+        y = jax.nn.relu((y * scat + bcat).astype(_GLUE))
+        splits = []
+        for q in qs[:-1]:
+            splits.append((splits[-1] if splits else 0)
+                          + q["w_q"].shape[-1])
+        for p, h in zip(prefixes, jnp.split(y, splits, axis=-1)):
+            hidden[p] = h
+
     def head(prefix):
-        h = conv(feat, f"{prefix}/{prefix}_conv1", pad=0, xq=featq)
+        h = hidden.get(prefix)
+        if h is None:
+            h = conv(feat, f"{prefix}/{prefix}_conv1", pad=0, xq=featq)
         return conv(h, f"{prefix}/{prefix}_conv2", pad=0, relu=False)
 
     out = {"score": head("det").astype(jnp.float32),
@@ -299,11 +324,13 @@ class QuantDenseBox:
     ladders)."""
 
     def __init__(self, cfg: ModelCfg, backend: str = "auto",
-                 acc_dtype: str = "auto", up_int8: str = "auto"):
+                 acc_dtype: str = "auto", up_int8: str = "auto",
+                 head_fuse: str = "auto"):
         self.cfg = cfg
         self.backend = backend
         self.acc_dtype = acc_dtype
         self.up_int8 = up_int8
+        self.head_fuse = head_fuse
 
     def apply(self, qparams, images, train: bool = False, rngs=None):
         assert not train, "int8 path is inference-only"
@@ -332,5 +359,17 @@ class QuantDenseBox:
             up = False
         elif up in ("on", "off"):
             up = up == "on"
+        hf = self.head_fuse
+        if hf == "auto":
+            # measured policy (round-3 A/B, turbo @B256): fusing every
+            # head conv1 into one concatenated int8 conv = 5,195 img/s vs
+            # 6,090 split — the jnp.split of the fused output costs more
+            # in relayout copies than the shared-feat re-read it saves
+            # (XLA overlaps the per-head reads anyway). REJECTED; kept as
+            # a tested backend (head_fuse='on'). BASELINE.md round 3.
+            hf = False
+        elif hf in ("on", "off"):
+            hf = hf == "on"
         return _forward(None, images, self.cfg, qparams=qparams,
-                        acc_dtype=jnp.dtype(acc), up_int8=bool(up))
+                        acc_dtype=jnp.dtype(acc), up_int8=bool(up),
+                        head_fuse=bool(hf))

@@ -158,3 +158,22 @@ def test_hybrid_backend_matches_pallas_fused_chain():
                           - b[k].astype(jnp.float32)).max())
         s = float(jnp.abs(a[k]).max()) + 1e-6
         assert d / s < 0.02, (k, d, s)
+
+
+def test_fused_head_conv1_matches_split():
+    """head_fuse concatenates every head conv1 into one int8 conv over the
+    shared feat; int32 accumulation is exact and the per-channel dequant
+    is unchanged, so outputs must match the split path bitwise."""
+    cfg = ModelCfg(num_landmarks=3, use_refine=True, width_mult=0.125)
+    model = DenseBox(cfg)
+    x = jax.random.uniform(jax.random.key(0), (2, 64, 64, 3))
+    params = model.init(jax.random.key(1), x)
+    qparams = quantize_densebox(params, cfg, x)
+
+    split = QuantDenseBox(cfg, head_fuse="off").apply(qparams, x)
+    fused = QuantDenseBox(cfg, head_fuse="on").apply(qparams, x)
+    assert set(split) == set(fused)
+    for k in split:
+        np.testing.assert_allclose(np.asarray(fused[k]),
+                                   np.asarray(split[k]),
+                                   rtol=0, atol=1e-5, err_msg=k)
