@@ -42,7 +42,7 @@ def _bench_train(args, model_cfg, batch: int, iters: int) -> None:
         label=LabelCfg(patch_size=patch,
                        std_height_px=50.0 * patch / 240),
         loss=LossCfg(backend=args.ohem_backend),
-        train=TrainCfg(batch_size=batch))
+        train=TrainCfg(batch_size=batch, remat=args.remat))
     canvas_cfg = LabelCfg(patch_size=2 * patch,
                           std_height_px=cfg.label.std_height_px)
     model = DenseBox(cfg.model)
@@ -116,6 +116,10 @@ def main() -> None:
     ap.add_argument("--ohem-backend", default="auto",
                     choices=["auto", "jax", "pallas"],
                     help="OHEM selection backend for --mode train")
+    ap.add_argument("--remat", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="rematerialize the train forward in the backward "
+                         "(A/B knob; measured policy in BASELINE.md)")
     ap.add_argument("--up-int8", default="auto",
                     choices=["auto", "on", "off"], type=str,
                     help="int8-in/int8-out skip upsample (A/B knob; "

@@ -213,6 +213,11 @@ class TrainCfg:
     # (measured round 3, fast w0.5/B128: 58.2 -> 48.4 ms/step). 'auto' =
     # 'rbg' on TPU, 'threefry' elsewhere (CPU test goldens unchanged).
     # state.key itself stays threefry2x32 — checkpoint format unchanged.
+    remat: str = "auto"             # rematerialize the forward in the
+    # backward pass ('on' | 'off' | 'auto'): trades one extra forward's
+    # FLOPs for not storing fwd activations to HBM — a win only if the
+    # step is bandwidth-bound. Measured round 3 (fast w0.5/B128, 240px):
+    # see BASELINE.md train ladder; 'auto' = the measured winner.
 
 
 @dataclasses.dataclass(frozen=True)

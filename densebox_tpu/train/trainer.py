@@ -54,10 +54,21 @@ def make_canvas_train_step(model: DenseBox, cfg: DenseBoxConfig,
             batch.get("landmarks"), batch.get("lm_valid"),
             backend=cfg.train.label_backend)
 
-        def loss_fn(params):
-            out = model.apply(params, batch["image"], train=True,
+        def fwd(params, image):
+            out = model.apply(params, image, train=True,
                               rngs={"dropout": k_drop})
             return densebox_loss(out, gts, k_loss, cfg.loss)
+
+        remat = cfg.train.remat
+        if remat == "auto":
+            # measured policy (round-3 A/B, fast w0.5/B128/240px; numbers
+            # in BASELINE.md train ladder)
+            remat = "off"
+        if remat == "on":
+            fwd = jax.checkpoint(fwd)
+
+        def loss_fn(params):
+            return fwd(params, batch["image"])
 
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
