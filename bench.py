@@ -129,6 +129,12 @@ def main() -> None:
                     help="single concatenated head-conv1 over the shared "
                          "int8 feat (A/B knob; measured policy in "
                          "BASELINE.md)")
+    ap.add_argument("--tail", default="auto",
+                    choices=["auto", "int8", "bf16"],
+                    help="dtype of the MXU-starved tail convs (head conv2s "
+                         "+ refine branch): bf16 skips their input "
+                         "quantize passes (A/B knob; measured policy in "
+                         "BASELINE.md)")
     ap.add_argument("--qbackend", default="auto",
                     choices=["auto", "xla", "pallas", "hybrid"],
                     help="int8 conv backend: xla (lax convs) | pallas "
@@ -193,7 +199,8 @@ def main() -> None:
             params, cfg, images[:2].astype(jnp.float32))
         model = QuantDenseBox(cfg, backend=args.qbackend,
                               up_int8=args.up_int8,
-                              head_fuse=args.head_fuse)
+                              head_fuse=args.head_fuse,
+                              tail=args.tail)
 
     @jax.jit
     def pipeline_loop(p, x):

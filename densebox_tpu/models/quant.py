@@ -78,7 +78,7 @@ def _int8_conv(x_q, wq, *, pad: int, out_dtype=jnp.int32):
 
 def _forward(params, images, cfg: ModelCfg, *, taps=None, qparams=None,
              acc_dtype=jnp.int32, up_int8=False,
-             head_fuse=False) -> Dict[str, jnp.ndarray]:
+             head_fuse=False, tail_bf16=False) -> Dict[str, jnp.ndarray]:
     """One walk serves two masters: with ``taps`` (a dict) it runs the bf16
     reference forward recording each conv's input absmax (calibration);
     with ``qparams`` it runs the int8 path. Structure mirrors
@@ -95,14 +95,40 @@ def _forward(params, images, cfg: ModelCfg, *, taps=None, qparams=None,
     its own calibrated scale at LOW resolution, interp-matmul the s8 codes
     in bf16 with the rescale-to-feat-scale + round/clamp fused into the
     epilogue. Quartered upsample HBM traffic for <=1-LSB extra quant noise
-    (measured A/B + cert deltas in BASELINE.md round 3)."""
+    (measured A/B + cert deltas in BASELINE.md round 3).
+
+    ``tail_bf16``: run the MXU-starved tail convs — every head conv2
+    (Cout in {1, 4, L}) and the refine branch (5-channel input, width 64)
+    — in bf16 with weights dequantized from their int8 codes, instead of
+    int8. Those convs are bandwidth-bound, not MXU-bound, so int8 gains
+    nothing on the matmul while each one pays a full-size bf16->int8
+    clamp_convert quantize pass on its input (the dominant non-conv
+    bucket in the round-3 landmark-pipeline profile). bf16 reads the
+    hidden tensor directly and skips the quantize entirely. Same int8
+    weight codes either way; activations are simply not re-quantized
+    (strictly less quantization noise)."""
     plan = trunk_plan(cfg)
     f3_tap = [n for k, n, _ in plan
               if k == "conv" and n.startswith("conv3")][-1]
 
-    def conv(x, name, pad, relu=True, xq=None):
+    def conv(x, name, pad, relu=True, xq=None, tail=False):
         if qparams is not None:
             q = qparams[name]
+            if tail and tail_bf16:
+                # bandwidth-bound tail conv: bf16 activations straight in,
+                # weights dequantized from their int8 codes (tiny, trace
+                # time); no clamp_convert pass on the big hidden tensor
+                wf = (q["w_q"].astype(jnp.float32)
+                      * q["w_scale"]).astype(_GLUE)
+                dn = lax.conv_dimension_numbers(
+                    x.shape, wf.shape, ("NHWC", "HWIO", "NHWC"))
+                y = lax.conv_general_dilated(
+                    x.astype(_GLUE), wf, (1, 1),
+                    padding=((pad, pad), (pad, pad)), dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+                y = y + q["bias"]
+                y = y.astype(_GLUE)
+                return jax.nn.relu(y) if relu else y
             if xq is None:
                 xq = _quant_act(x, q["in_scale"])
             y = _int8_conv(xq, q["w_q"], pad=pad,
@@ -185,7 +211,8 @@ def _forward(params, images, cfg: ModelCfg, *, taps=None, qparams=None,
         h = hidden.get(prefix)
         if h is None:
             h = conv(feat, f"{prefix}/{prefix}_conv1", pad=0, xq=featq)
-        return conv(h, f"{prefix}/{prefix}_conv2", pad=0, relu=False)
+        return conv(h, f"{prefix}/{prefix}_conv2", pad=0, relu=False,
+                    tail=True)
 
     out = {"score": head("det").astype(jnp.float32),
            "loc": head("loc").astype(jnp.float32)}
@@ -194,10 +221,10 @@ def _forward(params, images, cfg: ModelCfg, *, taps=None, qparams=None,
         out["lm"] = lm.astype(jnp.float32)
         if cfg.use_refine:
             r = jnp.concatenate([out["score"].astype(_GLUE), lm], -1)
-            r = conv(r, "refine_conv1", pad=1)
-            r = conv(r, "refine_conv2", pad=1)
+            r = conv(r, "refine_conv1", pad=1, tail=True)
+            r = conv(r, "refine_conv2", pad=1, tail=True)
             out["refined"] = conv(r, "refine_out", pad=0,
-                                  relu=False).astype(jnp.float32)
+                                  relu=False, tail=True).astype(jnp.float32)
     return out
 
 
@@ -325,12 +352,13 @@ class QuantDenseBox:
 
     def __init__(self, cfg: ModelCfg, backend: str = "auto",
                  acc_dtype: str = "auto", up_int8: str = "auto",
-                 head_fuse: str = "auto"):
+                 head_fuse: str = "auto", tail: str = "auto"):
         self.cfg = cfg
         self.backend = backend
         self.acc_dtype = acc_dtype
         self.up_int8 = up_int8
         self.head_fuse = head_fuse
+        self.tail = tail
 
     def apply(self, qparams, images, train: bool = False, rngs=None):
         assert not train, "int8 path is inference-only"
@@ -359,6 +387,15 @@ class QuantDenseBox:
             up = False
         elif up in ("on", "off"):
             up = up == "on"
+        tail = self.tail
+        if tail == "auto":
+            # measured policy (round-3 A/B, turbo @B256): bf16 tail convs
+            # are slower on BOTH configs (det-only 6,107 vs 6,210; lm4
+            # 3,708 vs 3,843) — XLA already folds the tail-conv input
+            # quantizes into producer epilogues, so bf16 just doubles the
+            # hidden-tensor read bytes. REJECTED; kept as a tested
+            # backend (tail='bf16'). BASELINE.md round 3.
+            tail = "int8"
         hf = self.head_fuse
         if hf == "auto":
             # measured policy (round-3 A/B, turbo @B256): fusing every
@@ -372,4 +409,4 @@ class QuantDenseBox:
             hf = hf == "on"
         return _forward(None, images, self.cfg, qparams=qparams,
                         acc_dtype=jnp.dtype(acc), up_int8=bool(up),
-                        head_fuse=bool(hf))
+                        head_fuse=bool(hf), tail_bf16=tail == "bf16")

@@ -160,6 +160,28 @@ def test_hybrid_backend_matches_pallas_fused_chain():
         assert d / s < 0.02, (k, d, s)
 
 
+def test_bf16_tail_close_to_int8_tail():
+    """tail='bf16' runs the head conv2s + refine branch in bf16 with
+    weights dequantized from the SAME int8 codes; outputs differ from the
+    all-int8 path only by the skipped activation quantization (strictly
+    less noise), so they must agree to a few percent of each output's
+    scale."""
+    cfg = ModelCfg(num_landmarks=3, use_refine=True, width_mult=0.125)
+    model = DenseBox(cfg)
+    x = jax.random.uniform(jax.random.key(0), (2, 64, 64, 3))
+    params = model.init(jax.random.key(1), x)
+    qparams = quantize_densebox(params, cfg, x)
+
+    a = QuantDenseBox(cfg, tail="int8").apply(qparams, x)
+    b = QuantDenseBox(cfg, tail="bf16").apply(qparams, x)
+    assert set(a) == set(b)
+    for k in a:
+        d = float(jnp.abs(a[k].astype(jnp.float32)
+                          - b[k].astype(jnp.float32)).max())
+        s = float(jnp.abs(a[k]).max()) + 1e-6
+        assert d / s < 0.05, (k, d, s)
+
+
 def test_fused_head_conv1_matches_split():
     """head_fuse concatenates every head conv1 into one int8 conv over the
     shared feat; int32 accumulation is exact and the per-channel dequant
