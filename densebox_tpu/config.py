@@ -218,6 +218,12 @@ class TrainCfg:
     # FLOPs for not storing fwd activations to HBM — a win only if the
     # step is bandwidth-bound. Measured round 3 (fast w0.5/B128, 240px):
     # see BASELINE.md train ladder; 'auto' = the measured winner.
+    crop_dtype: str = "auto"        # patch-crop interpolation dtype:
+    # 'float32' | 'bfloat16' | 'auto' (= follow model.compute_dtype).
+    # The vmapped crop matmuls + the canvas relayout copy are ~8% of the
+    # train step in f32 (round-3 profile); canvases come from 8-bit
+    # images, so bf16 interpolation is sub-quantization noise. CPU parity
+    # tests run compute_dtype=float32 and stay bit-exact.
 
 
 @dataclasses.dataclass(frozen=True)

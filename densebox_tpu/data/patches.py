@@ -40,6 +40,15 @@ def sample_patches(
     lm_valid: Optional[jnp.ndarray] = None,    # (B, K, L) per-landmark
                                                # visibility (real datasets
                                                # mark occluded keypoints)
+    crop_dtype=None,                           # compute dtype for the
+                                               # crop+resize interpolation;
+                                               # None keeps the input dtype
+                                               # (bit-exact tests). bf16
+                                               # halves the canvas relayout
+                                               # + interp-matmul traffic
+                                               # (~8% of the train step,
+                                               # round-3 profile) for
+                                               # sub-8-bit pixel noise.
 ) -> Dict[str, jnp.ndarray]:
     """One jitted patch-sampling step: full images -> training patches.
 
@@ -90,6 +99,8 @@ def sample_patches(
             translation=jnp.stack([ty, tx]),
             method="linear")
 
+    if crop_dtype is not None:
+        images = images.astype(crop_dtype)
     patches = jax.vmap(crop_one)(images, scale, -wx * scale, -wy * scale)
 
     # --- transform boxes ----------------------------------------------------

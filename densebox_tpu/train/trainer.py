@@ -13,6 +13,7 @@ import dataclasses
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -44,10 +45,14 @@ def make_canvas_train_step(model: DenseBox, cfg: DenseBoxConfig,
         k_loss = loop_lib.mask_rng_key(k_loss, cfg.train.rng_impl)
 
         if sample_from_canvas:
+            cd = cfg.train.crop_dtype
+            if cd == "auto":
+                cd = cfg.model.compute_dtype
             batch = sample_patches(
                 k_patch, batch["image"], batch["boxes"], batch["box_valid"],
                 cfg.label, landmarks=batch.get("landmarks"),
-                lm_valid=batch.get("lm_valid"))
+                lm_valid=batch.get("lm_valid"),
+                crop_dtype=(jnp.bfloat16 if cd == "bfloat16" else None))
 
         gts = rasterize(
             batch["boxes"], batch["box_valid"], cfg.label,
