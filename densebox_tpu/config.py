@@ -45,6 +45,13 @@ class ModelCfg:
     head_width: int = 512           # 1x1 conv width in det/loc/lm heads (paper §3.2)
     refine_width: int = 64          # conv width in the refinement branch
     dropout_rate: float = 0.5       # dropout between head convs (paper §3.2)
+    dropout_impl: str = "auto"      # 'flax' | 'packed' | 'auto'. 'packed'
+    # derives 4 mask bytes per generated u32 word instead of one mask per
+    # word (flax bernoulli): the two ~118M-element head masks are pure
+    # RNG-traffic (round-3 train profile), so packing quarters the
+    # generator bytes. Keep probability is quantized to 1/256 (exact for
+    # the paper's 0.5). 'auto' = 'packed' on TPU, 'flax' elsewhere (CPU
+    # goldens unchanged).
     compute_dtype: str = "float32"  # 'bfloat16' for production inference
     param_dtype: str = "float32"
 

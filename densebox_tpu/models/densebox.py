@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -135,6 +136,61 @@ def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("oh,bhwc->bowc", ah, y, precision=prec)
 
 
+class _PackedDropout(nn.Module):
+    """Dropout whose mask spends 8 random bits per element instead of 32.
+
+    ``jax.random.bernoulli`` draws one u32 word per element, so the two
+    (B, H/4, W/4, head_width) head masks are ~1 GB/step of pure generator
+    traffic at production shapes (round-3 train profile, BASELINE.md).
+    Here each generated u32 word yields FOUR mask bytes; an element is
+    kept iff its byte >= round(rate*256), i.e. the keep probability is
+    quantized to 1/256 — exact for the paper's rate 0.5. Same contract as
+    flax's Dropout otherwise (inverted scaling by the true keep prob,
+    'dropout' RNG collection)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool) -> jnp.ndarray:
+        thresh = int(round(self.rate * 256))
+        if deterministic or thresh == 0:
+            return x
+        keep_prob = 1.0 - thresh / 256.0
+        key = self.make_rng("dropout")
+        c = x.shape[-1]
+        if c % 4:
+            # channel count not byte-packable: plain bernoulli fallback
+            keep = jax.random.bernoulli(key, keep_prob, x.shape)
+        else:
+            # draw u32 words shaped like x but with a quarter-size minor
+            # dim, then expand each word into 4 bytes along that dim — a
+            # contiguous minor-dim reshape (a flat whole-array reshape
+            # here sent the remote TPU compiler into a 20-minute
+            # layout-assignment spiral; measured round 3)
+            bits = jax.random.bits(key, x.shape[:-1] + (c // 4,),
+                                   jnp.uint32)
+            shifts = jnp.asarray([0, 8, 16, 24], jnp.uint32)
+            byts = ((bits[..., None] >> shifts)
+                    & jnp.uint32(0xFF)).reshape(x.shape)
+            keep = byts >= jnp.uint32(thresh)
+        return jnp.where(keep, x / keep_prob, jnp.zeros((), x.dtype))
+
+
+def _dropout(cfg: ModelCfg) -> nn.Module:
+    impl = cfg.dropout_impl
+    if impl == "auto":
+        # measured policy (round 3, BASELINE.md): 'flax'. The packed mask
+        # quarters RNG bytes, but its byte-unpack HLO sent the remote TPU
+        # compiler into a >20-minute compile (vs ~2 min for the whole
+        # train step) on two formulations — a compile bomb disqualifies a
+        # default regardless of steady-state wins. Kept as a wired,
+        # unit-tested backend for runtimes with a local compiler.
+        impl = "flax"
+    if impl == "packed":
+        return _PackedDropout(cfg.dropout_rate)
+    return nn.Dropout(cfg.dropout_rate)
+
+
 class _Head(nn.Module):
     """1x1-conv prediction head: conv(head_width) -> ReLU -> dropout -> conv(out).
 
@@ -155,7 +211,7 @@ class _Head(nn.Module):
                     kernel_init=nn.initializers.he_normal(),
                     name=f"{self.name_prefix}_conv1")(x)
         x = nn.relu(x)
-        x = nn.Dropout(self.cfg.dropout_rate, deterministic=not train)(x)
+        x = _dropout(self.cfg)(x, deterministic=not train)
         x = nn.Conv(self.out_channels, (1, 1), dtype=dtype, param_dtype=pdtype,
                     precision=prec, kernel_init=nn.initializers.he_normal(),
                     name=f"{self.name_prefix}_conv2")(x)

@@ -176,3 +176,48 @@ def test_detections_identical_from_oracle_maps():
     np.testing.assert_array_equal(np.asarray(vj), np.asarray(vt))
     np.testing.assert_allclose(np.asarray(bj), np.asarray(bt), atol=5e-3)
     np.testing.assert_allclose(np.asarray(sj), np.asarray(st), atol=1e-4)
+
+
+def test_packed_dropout_semantics():
+    """_PackedDropout: flax-compatible contract — keep fraction ~= 1-rate,
+    kept values scaled by 1/keep_prob, deterministic per key, zero drops
+    when deterministic."""
+    from densebox_tpu.models.densebox import _PackedDropout
+
+    for ch in (8, 7):                            # packed path | C%4 fallback
+        x = jnp.ones((64, 60, 61, ch), jnp.float32)
+        mod = _PackedDropout(0.5)
+        y = jax.jit(lambda k: mod.apply({}, x, deterministic=False,
+                                        rngs={"dropout": k}))(jax.random.key(0))
+        vals = np.unique(np.asarray(y))
+        assert set(vals.tolist()) == {0.0, 2.0}  # dropped | scaled by 1/0.5
+        keep_frac = float((y != 0).mean())
+        assert abs(keep_frac - 0.5) < 0.01       # >1.6M elements: tight CLT
+        y2 = mod.apply({}, x, deterministic=False,
+                       rngs={"dropout": jax.random.key(0)})
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+        y3 = mod.apply({}, x, deterministic=True)
+        np.testing.assert_array_equal(np.asarray(y3), np.asarray(x))
+
+
+def test_packed_dropout_model_forward_and_grad():
+    """A model configured with dropout_impl='packed' trains: forward under
+    train=True differs across keys, matches eval-mode when rate math says
+    so, and gradients are finite."""
+    cfg = ModelCfg(width_mult=0.125, dropout_impl="packed")
+    model, params, x = _init(cfg, 48, 48)
+
+    out_a = model.apply(params, x, train=True,
+                        rngs={"dropout": jax.random.key(2)})
+    out_b = model.apply(params, x, train=True,
+                        rngs={"dropout": jax.random.key(3)})
+    assert float(jnp.abs(out_a["score"] - out_b["score"]).max()) > 0
+
+    def loss(p):
+        out = model.apply(p, x, train=True,
+                          rngs={"dropout": jax.random.key(4)})
+        return (out["score"] ** 2).mean() + (out["loc"] ** 2).mean()
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
