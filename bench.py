@@ -120,6 +120,11 @@ def main() -> None:
                     choices=["auto", "on", "off"],
                     help="rematerialize the train forward in the backward "
                          "(A/B knob; measured policy in BASELINE.md)")
+    ap.add_argument("--skip-fusion", default="auto",
+                    choices=["auto", "concat", "split"],
+                    help="head conv1 over the skip concat vs two "
+                         "sliced-weight matmuls (A/B knob; measured policy "
+                         "in BASELINE.md)")
     ap.add_argument("--up-int8", default="auto",
                     choices=["auto", "on", "off"], type=str,
                     help="int8-in/int8-out skip upsample (A/B knob; "
@@ -175,7 +180,8 @@ def main() -> None:
                    compute_dtype=("bfloat16" if args.dtype == "int8"
                                   else args.dtype),
                    stem=args.stem or preset["stem"],
-                   trunk_depth=args.trunk_depth or preset["depth"])
+                   trunk_depth=args.trunk_depth or preset["depth"],
+                   skip_fusion=args.skip_fusion)
     model = DenseBox(cfg)
     icfg = InferCfg(scales=tuple(float(s) for s in args.scales.split(",")),
                     score_thresh=0.5, topk_per_scale=256, max_dets=128,

@@ -44,6 +44,12 @@ class ModelCfg:
     trunk_depth: int = 4            # convs per conv3/conv4 block (4=VGG19)
     head_width: int = 512           # 1x1 conv width in det/loc/lm heads (paper §3.2)
     refine_width: int = 64          # conv width in the refinement branch
+    skip_fusion: str = "auto"       # 'concat' | 'split' | 'auto'. 'split'
+    # computes each head conv1 as two sliced-weight matmuls over f3 and
+    # the upsampled f4 instead of one conv over their concat — the
+    # (B, H/4, W/4, 384) concat tensor and its relayout copy never
+    # materialize (identical parameters; f32 sum order differs). 'auto'
+    # = the measured policy (BASELINE.md round-3 train ladder).
     dropout_rate: float = 0.5       # dropout between head convs (paper §3.2)
     dropout_impl: str = "auto"      # 'flax' | 'packed' | 'auto'. 'packed'
     # derives 4 mask bytes per generated u32 word instead of one mask per

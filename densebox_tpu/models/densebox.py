@@ -191,25 +191,61 @@ def _dropout(cfg: ModelCfg) -> nn.Module:
     return nn.Dropout(cfg.dropout_rate)
 
 
+class _SplitConv1x1(nn.Module):
+    """1x1 conv over the CONCEPTUAL concat of two feature tensors, computed
+    as two sliced-weight matmuls summed — the concat tensor never exists.
+
+    Parameter tree ({kernel (1,1,Ca+Cb,out), bias}) is byte-identical to
+    the ``nn.Conv`` it replaces, so checkpoints are interchangeable and
+    the torch-parity oracle needs no changes. Only the f32 accumulation
+    order differs (two GEMM partials instead of one 384-wide GEMM)."""
+
+    features: int
+    dtype: object
+    param_dtype: object
+    precision: object
+
+    @nn.compact
+    def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        ca, cb = a.shape[-1], b.shape[-1]
+        kernel = self.param("kernel", nn.initializers.he_normal(),
+                            (1, 1, ca + cb, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        k = kernel[0, 0].astype(self.dtype)
+        y = (jnp.einsum("bhwc,co->bhwo", a.astype(self.dtype), k[:ca],
+                        precision=self.precision)
+             + jnp.einsum("bhwc,co->bhwo", b.astype(self.dtype), k[ca:],
+                          precision=self.precision))
+        return y + bias.astype(self.dtype)
+
+
 class _Head(nn.Module):
     """1x1-conv prediction head: conv(head_width) -> ReLU -> dropout -> conv(out).
 
     Dropout placement per paper §3.2 / SURVEY.md C3 (between the two head convs).
-    """
+    The input is either the fused skip tensor or, under
+    ``ModelCfg.skip_fusion='split'``, the (f3, upsampled-f4) pair — see
+    :class:`_SplitConv1x1` (same parameters either way)."""
 
     cfg: ModelCfg
     out_channels: int
     name_prefix: str
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+    def __call__(self, x, *, train: bool) -> jnp.ndarray:
         dtype = jnp.dtype(self.cfg.compute_dtype)
         pdtype = jnp.dtype(self.cfg.param_dtype)
         prec = matmul_precision(dtype)
-        x = nn.Conv(self.cfg.scaled(self.cfg.head_width), (1, 1), dtype=dtype,
-                    param_dtype=pdtype, precision=prec,
-                    kernel_init=nn.initializers.he_normal(),
-                    name=f"{self.name_prefix}_conv1")(x)
+        width = self.cfg.scaled(self.cfg.head_width)
+        if isinstance(x, tuple):
+            x = _SplitConv1x1(width, dtype, pdtype, prec,
+                              name=f"{self.name_prefix}_conv1")(*x)
+        else:
+            x = nn.Conv(width, (1, 1), dtype=dtype,
+                        param_dtype=pdtype, precision=prec,
+                        kernel_init=nn.initializers.he_normal(),
+                        name=f"{self.name_prefix}_conv1")(x)
         x = nn.relu(x)
         x = _dropout(self.cfg)(x, deterministic=not train)
         x = nn.Conv(self.out_channels, (1, 1), dtype=dtype, param_dtype=pdtype,
@@ -264,7 +300,17 @@ class DenseBox(nn.Module):
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
         f4 = x
 
-        feat = jnp.concatenate([f3, upsample2x_align_corners(f4)], axis=-1)
+        sf = cfg.skip_fusion
+        if sf == "auto":
+            # measured policy (round-3 train ladder, BASELINE.md): pending
+            sf = "concat"
+        up = upsample2x_align_corners(f4)
+        # 'split' hands each head the (f3, up) pair; _SplitConv1x1 folds the
+        # concat into its sliced-weight matmuls so the (B, H/4, W/4, 384)
+        # concat tensor (+ its relayout copy, 2.3 ms/step in the round-3
+        # train profile) never materializes. Identical parameters.
+        feat = ((f3, up) if sf == "split"
+                else jnp.concatenate([f3, up], axis=-1))
 
         score = _Head(cfg, 1, "det", name="det")(feat, train=train)
         loc = _Head(cfg, 4, "loc", name="loc")(feat, train=train)

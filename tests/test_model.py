@@ -221,3 +221,27 @@ def test_packed_dropout_model_forward_and_grad():
     g = jax.grad(loss)(params)
     leaves = jax.tree.leaves(g)
     assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+
+
+def test_split_skip_fusion_matches_concat():
+    """skip_fusion='split' computes head conv1 as two sliced-weight matmuls
+    over (f3, up) instead of one conv over their concat; parameters are
+    byte-identical and outputs must agree to f32-accumulation-order noise."""
+    base = dict(width_mult=0.25, num_landmarks=3, use_refine=True)
+    cfg_c = ModelCfg(skip_fusion="concat", **base)
+    cfg_s = ModelCfg(skip_fusion="split", **base)
+    model_c, params, x = _init(cfg_c, 48, 48, batch=2)
+    model_s = DenseBox(cfg_s)
+
+    # identical parameter trees (shapes + paths)
+    ps = model_s.init(jax.random.key(1), x)
+    assert (jax.tree.structure(ps) == jax.tree.structure(params))
+    for a, b in zip(jax.tree.leaves(ps), jax.tree.leaves(params)):
+        assert a.shape == b.shape
+
+    out_c = model_c.apply(params, x)
+    out_s = model_s.apply(params, x)
+    assert set(out_c) == set(out_s)
+    for k in out_c:
+        np.testing.assert_allclose(np.asarray(out_s[k]), np.asarray(out_c[k]),
+                                   rtol=0, atol=1e-5, err_msg=k)
