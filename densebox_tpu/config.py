@@ -175,6 +175,18 @@ class InferCfg:
                                     # image can truncate. 0 = all max_dets
                                     # slots (exact; quality-measurement
                                     # paths that need every slot use it).
+    lm_dtype: str = "auto"          # landmark heatmap dtype through the
+                                    # window gather + peak search:
+                                    # 'float32' | 'bfloat16' | 'auto' (=
+                                    # measured policy, BASELINE.md round
+                                    # 3). bf16 halves the strip-DMA and
+                                    # peak-reduce read traffic; the
+                                    # argmax tie-break prior and the
+                                    # sub-pixel parabola still run in f32
+                                    # (dtype promotion), so only the
+                                    # heatmap VALUES quantize (~3 decimal
+                                    # digits — beneath detection-heat
+                                    # contrast).
     lm_backend: str = "auto"        # landmark window gather: 'pallas' (the
                                     # scalar-prefetch DMA kernel — the
                                     # measured TPU policy, see BASELINE.md

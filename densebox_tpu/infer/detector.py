@@ -414,7 +414,11 @@ def detect_batch(
         all_valid.append(valid)
 
         if "lm" in out:
-            lm_maps.append((out["lm"], (sx, sy)))
+            ld = infer_cfg.lm_dtype
+            if ld == "auto":
+                # measured policy (round-3 A/B, BASELINE.md): pending
+                ld = "float32"
+            lm_maps.append((out["lm"].astype(ld), (sx, sy)))
 
     # Cross-scale: concat fixed-K candidate sets, one global NMS (SURVEY §4.5)
     boxes = jnp.concatenate(all_boxes, axis=1)

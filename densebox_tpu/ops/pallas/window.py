@@ -92,17 +92,20 @@ def _kernel(packed_ref, maps_ref, out_ref, strips, sems, *,
             dma(j, l).wait()
         for l in range(num_lm):
             _, y0, x0, ya, xa = unpack(j, l)
-            # one-hot row/column pickers: exact single-term products
+            # one-hot row/column pickers: exact single-term products (every
+            # output element is 1.0 * value once, so the extraction is a
+            # bit-exact copy in ANY dtype; f32 accumulation costs nothing)
             rio = jax.lax.broadcasted_iota(jnp.int32, (win, STRIP_H), 1)
             rof = jax.lax.broadcasted_iota(jnp.int32, (win, STRIP_H), 0)
-            rsel = (rio == (y0 - ya) + rof).astype(jnp.float32)
+            rsel = (rio == (y0 - ya) + rof).astype(strips.dtype)
             cio = jax.lax.broadcasted_iota(jnp.int32, (STRIP_W, win), 0)
             cof = jax.lax.broadcasted_iota(jnp.int32, (STRIP_W, win), 1)
-            csel = (cio == (x0 - xa) + cof).astype(jnp.float32)
+            csel = (cio == (x0 - xa) + cof).astype(strips.dtype)
             rows = jnp.dot(rsel, strips[j, l],
                            preferred_element_type=jnp.float32)
-            out_ref[0, j, l] = jnp.dot(rows, csel,
-                                       preferred_element_type=jnp.float32)
+            out_ref[0, j, l] = jnp.dot(
+                rows.astype(strips.dtype), csel,
+                preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 # SMEM budget for the packed index operand (the 1 MB scalar memory is
@@ -114,14 +117,14 @@ _MAX_WORDS = 128 * 1024
 
 
 def gather_windows_pallas(
-    maps: jnp.ndarray,   # (B, S, L, Hm, Wm) f32 stacked padded heatmaps
+    maps: jnp.ndarray,   # (B, S, L, Hm, Wm) f32/bf16 stacked padded heatmaps
     sel: jnp.ndarray,    # (B, D) int32 selected scale per detection
     y0: jnp.ndarray,     # (B, D, L) | (B, D, 1) int32 origins (pre-clipped)
     x0: jnp.ndarray,     # same shape as y0
     win: int,
     *,
     interpret: Optional[bool] = None,
-) -> jnp.ndarray:        # (B, D, L, win, win) f32
+) -> jnp.ndarray:        # (B, D, L, win, win), maps.dtype
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, s, num_lm, hm, wm = maps.shape
@@ -142,7 +145,10 @@ def gather_windows_pallas(
     if (ha, wpad) != (hm, wm):
         maps = jnp.pad(maps, ((0, 0), (0, 0), (0, 0),
                               (0, ha - hm), (0, wpad - wm)))
-    maps = maps.astype(jnp.float32)
+    dtype = maps.dtype
+    if dtype not in (jnp.float32, jnp.bfloat16):
+        maps = maps.astype(jnp.float32)
+        dtype = jnp.float32
 
     packed = ((sel.astype(jnp.int32)[..., None] << 28)
               | (y0.astype(jnp.int32) << 14)
@@ -161,7 +167,7 @@ def gather_windows_pallas(
                                    lambda bi, di, *_: (bi, di, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((dp, num_lm, STRIP_H, STRIP_W), jnp.float32),
+                pltpu.VMEM((dp, num_lm, STRIP_H, STRIP_W), dtype),
                 pltpu.SemaphoreType.DMA((dp, num_lm)),
             ],
         )
@@ -169,7 +175,7 @@ def gather_windows_pallas(
             functools.partial(_kernel, win=win, num_lm=num_lm, dp=dp, ha=ha,
                               wpad=wpad, shared=shared),
             out_shape=jax.ShapeDtypeStruct((bc, d, num_lm, win, win),
-                                           jnp.float32),
+                                           dtype),
             grid_spec=grid_spec,
             interpret=interpret,
         )(packed_c, maps_c)

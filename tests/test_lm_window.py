@@ -168,3 +168,65 @@ def test_lm_topk_truncation_matches_full_decode():
     assert not np.asarray(trunc["lm_valid"])[:, 4:].any()
     np.testing.assert_array_equal(np.asarray(trunc["lm_valid"])[:, :4],
                                   np.asarray(full["lm_valid"])[:, :4])
+
+
+def test_gather_windows_bf16_exact():
+    """The one-hot extraction is a bit-exact copy in any dtype: bf16 maps
+    through the Pallas kernel must equal the jax twin's slices bitwise."""
+    rng = np.random.RandomState(5)
+    b, s, num_lm, hm, wm, d, win = 2, 3, 4, 40, 36, 7, 16
+    maps = jnp.asarray(rng.rand(b, s, num_lm, hm, wm).astype(np.float32),
+                       jnp.bfloat16)
+    sel = jnp.asarray(rng.randint(0, s, (b, d)), jnp.int32)
+    y0 = jnp.asarray(rng.randint(0, hm - win, (b, d, num_lm)), jnp.int32)
+    x0 = jnp.asarray(rng.randint(0, wm - win, (b, d, num_lm)), jnp.int32)
+    out_p = gather_windows_pallas(maps, sel, y0, x0, win)
+    out_j = gather_windows_jax(maps, sel, y0, x0, win)
+    assert out_p.dtype == jnp.bfloat16 and out_j.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(out_p, np.float32), np.asarray(out_j, np.float32))
+
+
+def test_selected_decode_bf16_close_to_f32():
+    """lm_dtype='bfloat16' decode: same windows, bf16 heat values — decoded
+    points must match the f32 path within a fraction of a map pixel (the
+    argmax is invariant unless two peaks differ by <1 bf16 ulp; the
+    parabola shift is bounded by +-0.5 px and degrades gracefully)."""
+    anchors = jnp.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], jnp.float32)
+    for seed in (0, 1):
+        lm_maps, boxes, valid, sel = _random_case(seed)
+        # real heatmaps have contrast: zero background with one clear peak
+        # at each detection's ANCHOR position on its selected scale (so the
+        # peak is inside the anchored search disc) — bf16 cannot perturb an
+        # argmax whose margin is O(1), only true near-ties (uniform noise
+        # is all near-ties and decodes garbage either way)
+        bxs = np.asarray(boxes)
+        sels = np.asarray(sel)
+        arrs = [np.zeros_like(np.asarray(m)) for m, _ in lm_maps]
+        for bi in range(bxs.shape[0]):
+            for di in range(bxs.shape[1]):
+                si = int(sels[bi, di])
+                a, (sx, sy) = arrs[si], lm_maps[si][1]
+                x1, y1, x2, y2 = bxs[bi, di]
+                for li, (ax, ay) in enumerate(np.asarray(anchors)):
+                    px = int(np.floor((x1 + ax * (x2 - x1)) * sx / STRIDE))
+                    py = int(np.floor((y1 + ay * (y2 - y1)) * sy / STRIDE))
+                    px = np.clip(px, 1, a.shape[2] - 2)
+                    py = np.clip(py, 1, a.shape[1] - 2)
+                    a[bi, py, px, li] = 2.0
+                    a[bi, py, px - 1, li] = a[bi, py, px + 1, li] = 1.2
+                    a[bi, py - 1, px, li] = a[bi, py + 1, px, li] = 1.2
+        planted = [(jnp.asarray(a), sc) for a, (_, sc) in
+                   zip(arrs, lm_maps)]
+        f32, ok32 = decode_landmarks_selected(
+            planted, sel, boxes, valid, stride=STRIDE, anchors=anchors,
+            window=16, backend="jax")
+        bf = [(m.astype(jnp.bfloat16), sc) for m, sc in planted]
+        b16, ok16 = decode_landmarks_selected(
+            bf, sel, boxes, valid, stride=STRIDE, anchors=anchors,
+            window=16, backend="jax")
+        # identical argmax pixels; sub-pixel parabola may shift by the bf16
+        # quantization of the neighbor values (<0.1 map px ~ <1 image px)
+        dist = np.linalg.norm(np.asarray(f32 - b16), axis=-1)
+        assert float(dist.max()) < 1.0, (seed, dist.max())
+        np.testing.assert_array_equal(np.asarray(ok32), np.asarray(ok16))
