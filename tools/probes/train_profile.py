@@ -54,14 +54,38 @@ time.sleep(2)
 traces = sorted(glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True))
 print("trace files:", traces)
 if traces:
+    import re
+
     with gzip.open(traces[-1], "rt") as f:
         data = json.load(f)
     durs = defaultdict(float)
+    by_tf = defaultdict(float)
+    _layer = re.compile(r"/(conv\d_\d|det|loc|lm|refine\w*|concatenate"
+                        r"|Dropout_0)[/:]")
     for ev in data.get("traceEvents", []):
-        if ev.get("ph") == "X" and "dur" in ev:
-            durs[ev.get("name", "?")] += ev["dur"]
+        if ev.get("ph") != "X" or "dur" not in ev:
+            continue
+        name = ev.get("name", "?")
+        durs[name] += ev["dur"]
+        # logical-op buckets (the per-fusion view below reads "flat" while
+        # the heads are actually the largest bucket — round-3 finding)
+        if (name.startswith(("$", "jit_", "Pjit")) or "profiler" in name
+                or "asarray" in name or name in ("0", "1", "2")):
+            continue
+        tf = (ev.get("args") or {}).get("tf_op", "")
+        if not tf:
+            continue
+        m = _layer.search(tf)
+        stage = ("BWD " if "transpose(jvp" in tf
+                 else "FWD " if "jvp(" in tf else "")
+        by_tf[stage + (m.group(1) if m else tf.split("/")[-1].strip(":"))] \
+            += ev["dur"]
     top = sorted(durs.items(), key=lambda kv: -kv[1])[:35]
     total = sum(durs.values())
     print(f"total traced op-time: {total/1e3:.1f} ms (3 steps)")
     for name, d in top:
         print(f"{d/1e3:9.2f} ms  {100*d/total:5.1f}%  {name[:110]}")
+    print("--- by logical op (tf_op metadata, device fusions only) ---")
+    tot2 = sum(by_tf.values())
+    for name, d in sorted(by_tf.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"{d/3e3:9.2f} ms/step  {100*d/tot2:5.1f}%  {name[:90]}")
