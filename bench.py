@@ -134,6 +134,11 @@ def main() -> None:
                     help="single concatenated head-conv1 over the shared "
                          "int8 feat (A/B knob; measured policy in "
                          "BASELINE.md)")
+    ap.add_argument("--lm-dtype", default="auto",
+                    choices=["auto", "float32", "bfloat16"],
+                    help="landmark heatmap dtype through the window gather "
+                         "+ peak search (A/B knob; measured policy in "
+                         "BASELINE.md)")
     ap.add_argument("--tail", default="auto",
                     choices=["auto", "int8", "bf16"],
                     help="dtype of the MXU-starved tail convs (head conv2s "
@@ -185,7 +190,8 @@ def main() -> None:
     model = DenseBox(cfg)
     icfg = InferCfg(scales=tuple(float(s) for s in args.scales.split(",")),
                     score_thresh=0.5, topk_per_scale=256, max_dets=128,
-                    approx_topk=True)  # production throughput path opts in
+                    approx_topk=True,  # production throughput path opts in
+                    lm_dtype=args.lm_dtype)
     lcfg = LabelCfg()
 
     if args.mode == "train":
