@@ -33,32 +33,61 @@ def _imread(path: str) -> np.ndarray:
 
 
 def canvas_batch(samples: Sequence[Sample], canvas_hw: Tuple[int, int],
-                 max_boxes: int, num_landmarks: int = 0) -> dict:
+                 max_boxes: int, num_landmarks: int = 0,
+                 backend: str = "auto") -> dict:
     """Load + zero-pad images onto a fixed canvas; pad box tensors.
     Images larger than the canvas are downscaled to fit (boxes and
     landmarks follow). With ``num_landmarks``, emits landmarks/lm_valid
     lanes (invisible keypoints — coords < 0 in the annotation, see
-    data/kitti.py — get lm_valid False)."""
-    import cv2
+    data/kitti.py — get lm_valid False).
 
+    ``backend``: 'native' (C++ GIL-free thread-pool decode+pad,
+    densebox_tpu/native — the DataLoader-core equivalent, SURVEY.md C8) |
+    'python' (cv2 loop — the semantic reference) | 'auto' (native when
+    the compiled library is available, python otherwise). Image pixels
+    are equality-tested between the two (tests/test_native_loader.py)."""
     hc, wc = canvas_hw
     b = len(samples)
     scales = np.ones((b,), np.float32)
-    images = np.zeros((b, hc, wc, 3), np.float32)
     boxes = np.zeros((b, max_boxes, 4), np.float32)
     valid = np.zeros((b, max_boxes), bool)
     lms = np.zeros((b, max_boxes, num_landmarks, 2), np.float32)
     lm_valid = np.zeros((b, max_boxes, num_landmarks), bool)
-    for i, s in enumerate(samples):
-        img = _imread(s.image_path).astype(np.float32) / 255.0
-        h, w = img.shape[:2]
-        f = min(1.0, hc / h, wc / w)
-        if f < 1.0:
-            img = cv2.resize(img, (int(w * f), int(h * f)),
-                             interpolation=cv2.INTER_AREA)
+
+    if backend == "auto":
+        # measured policy (round 3, tools/probes/loader_bench.py): the
+        # native core's value is its GIL-free thread pool; this build
+        # machine exposes ONE core, where the pool buys nothing and the
+        # system OpenCV (4.6) decodes ~7% slower than the bundled wheel
+        # (140 vs 130 img/s host) — so auto requires real parallelism.
+        import os as _os
+
+        from densebox_tpu.native import native_available
+
+        backend = ("native" if (_os.cpu_count() or 1) > 1
+                   and native_available() else "python")
+    if backend == "native":
+        from densebox_tpu.native import load_canvas_native
+
+        images, scales, _ = load_canvas_native(
+            [s.image_path for s in samples], canvas_hw)
+    else:
+        import cv2
+
+        images = np.zeros((b, hc, wc, 3), np.float32)
+        for i, s in enumerate(samples):
+            img = _imread(s.image_path).astype(np.float32) / 255.0
             h, w = img.shape[:2]
-        images[i, :h, :w] = img
-        scales[i] = f
+            f = min(1.0, hc / h, wc / w)
+            if f < 1.0:
+                img = cv2.resize(img, (int(w * f), int(h * f)),
+                                 interpolation=cv2.INTER_AREA)
+                h, w = img.shape[:2]
+            images[i, :h, :w] = img
+            scales[i] = f
+
+    for i, s in enumerate(samples):
+        f = float(scales[i])
         n = min(len(s.boxes), max_boxes)
         if n:
             boxes[i, :n] = s.boxes[:n] * f
