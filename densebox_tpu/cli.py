@@ -251,6 +251,49 @@ def cmd_detect(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from densebox_tpu.models import DenseBox
+    from densebox_tpu.serve import (DetectServer, make_http_server,
+                                    serve_forever)
+    from densebox_tpu.train.checkpoint import load_for_inference
+
+    try:
+        cfg, params = load_for_inference(os.path.join(args.workdir, "ckpt"))
+    except FileNotFoundError as e:
+        print(f"error: {e} — train first or point --workdir at a training "
+              f"run", file=sys.stderr)
+        return 2
+    cfg = _maybe_override_label(cfg, args)
+    model = DenseBox(cfg.model)
+    if args.quantize:
+        if args.calib_dir:
+            calib, src = _calib_dir_images(args.calib_dir), \
+                f"--calib-dir {args.calib_dir}"
+        else:
+            calib = src = None      # hermetic synthetic fallback
+        model, params = _quantize(params, cfg, calib, src)
+    icfg = _merged_infer_cfg(cfg.infer, args)
+    server = DetectServer(model, params, icfg, cfg.label,
+                          canvas_hw=tuple(args.canvas),
+                          max_batch=args.max_batch,
+                          batch_window_ms=args.batch_window_ms)
+    info = {"canvas": list(args.canvas), "max_batch": args.max_batch,
+            "quantized": bool(args.quantize),
+            "landmarks": cfg.model.num_landmarks,
+            "scales": list(icfg.scales)}
+    httpd = make_http_server(server, args.host, args.port, info)
+    print(f"serving on http://{httpd.server_address[0]}:"
+          f"{httpd.server_address[1]}  (POST /detect, GET /healthz)",
+          flush=True)
+    try:
+        serve_forever(httpd)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.close()
+    return 0
+
+
 def cmd_eval(args) -> int:
     import jax
     import numpy as np
@@ -584,6 +627,28 @@ def main(argv=None) -> int:
                         "anchors (flat ax,ay list)")
     _add_infer_flags(d)
     d.set_defaults(fn=cmd_detect)
+
+    s = sub.add_parser("serve", help="batched HTTP inference server "
+                                     "(POST /detect, GET /healthz)")
+    s.add_argument("--workdir", required=True)
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8471)
+    s.add_argument("--canvas", type=int, nargs=2, default=(480, 640),
+                   help="fixed serving canvas H W (one compiled program; "
+                        "requests letterbox onto it)")
+    s.add_argument("--max-batch", type=int, default=8,
+                   help="device batch: concurrent requests coalesce up to "
+                        "this many per call")
+    s.add_argument("--batch-window-ms", type=float, default=5.0,
+                   help="how long the first queued request waits for "
+                        "companions before launching")
+    s.add_argument("--quantize", action="store_true",
+                   help="serve the int8 PTQ path (calibrate via "
+                        "--calib-dir, else hermetic synthetic fallback)")
+    s.add_argument("--calib-dir", default=None)
+    s.add_argument("--lm-anchors", default=None)
+    _add_infer_flags(s)
+    s.set_defaults(fn=cmd_serve)
 
     e = sub.add_parser("eval", help="compute detection AP on a dataset")
     e.add_argument("--workdir", required=True)

@@ -1,0 +1,137 @@
+"""Serving surface: request coalescing + fixed-canvas letterboxing +
+HTTP front-end (densebox_tpu/serve.py; the production-deployment story the
+reference's test.py script lacks)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def trained_workdir(tmp_path_factory):
+    from densebox_tpu.cli import main
+
+    workdir = str(tmp_path_factory.mktemp("serve_run") / "run")
+    rc = main(["train", "--synthetic", "--workdir", workdir,
+               "--steps", "30", "--batch-size", "8", "--width-mult", "0.125",
+               "--patch-size", "64", "--std-height", "20", "--max-boxes", "3",
+               "--lr", "3e-3", "--ckpt-every", "15", "--log-every", "10"])
+    assert rc == 0
+    return workdir
+
+
+def _scene(seed=0, h=96, w=128):
+    rng = np.random.RandomState(seed)
+    img = (rng.rand(h, w, 3) * 40).astype(np.float32)
+    img[30:52, 40:62] = 230.0
+    return img / 255.0
+
+
+def _make_server(workdir, **kw):
+    from densebox_tpu.models import DenseBox
+    from densebox_tpu.serve import DetectServer
+    from densebox_tpu.train.checkpoint import load_for_inference
+
+    cfg, params = load_for_inference(f"{workdir}/ckpt")
+    model = DenseBox(cfg.model)
+    return DetectServer(model, params, cfg.infer, cfg.label, **kw), cfg
+
+
+def test_submit_matches_direct_detect(trained_workdir):
+    """A served request returns the same detections as calling the detect
+    pipeline directly on the letterboxed canvas."""
+    import jax.numpy as jnp
+
+    from densebox_tpu.infer import make_detect_fn
+    from densebox_tpu.models import DenseBox
+    from densebox_tpu.train.checkpoint import load_for_inference
+
+    server, cfg = _make_server(trained_workdir, canvas_hw=(96, 128),
+                               max_batch=2, batch_window_ms=1.0)
+    img = _scene()
+    try:
+        dets = server.submit(img)
+    finally:
+        server.close()
+
+    model = DenseBox(cfg.model)
+    _, params = load_for_inference(f"{trained_workdir}/ckpt")
+    detect = make_detect_fn(model, cfg.infer, cfg.label)
+    ref = {k: np.asarray(v) for k, v in
+           detect(params, jnp.asarray(img[None])).items()}
+    v = ref["valid"][0]
+    np.testing.assert_allclose(dets["boxes"], ref["boxes"][0][v], atol=1e-4)
+    np.testing.assert_allclose(dets["scores"], ref["scores"][0][v],
+                               atol=1e-5)
+
+
+def test_concurrent_requests_coalesce(trained_workdir):
+    """N concurrent submits all come back correct (and share device calls);
+    an oversized image is letterboxed and boxes map back to its coords."""
+    server, _ = _make_server(trained_workdir, canvas_hw=(96, 128),
+                             max_batch=4, batch_window_ms=20.0)
+    imgs = [_scene(seed=i) for i in range(4)]
+    imgs[3] = np.kron(imgs[3], np.ones((2, 2, 1))).astype(np.float32)  # 2x
+    results = [None] * 4
+
+    def hit(i):
+        results[i] = server.submit(imgs[i])
+
+    try:
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(30)
+    finally:
+        server.close()
+    for i, r in enumerate(results):
+        assert r is not None and "boxes" in r, i
+    # the rectangle is at rows 30:52, cols 40:62; the upscaled image's
+    # detection must come back in ITS coordinate frame (x2)
+    if len(results[0]["boxes"]) and len(results[3]["boxes"]):
+        b0 = results[0]["boxes"][0]
+        b3 = results[3]["boxes"][0]
+        np.testing.assert_allclose(b3, 2.0 * b0, rtol=0.2, atol=8.0)
+
+
+def test_http_roundtrip(trained_workdir):
+    """POST /detect with an encoded PNG; GET /healthz reports the config."""
+    import cv2
+
+    from densebox_tpu.serve import make_http_server, serve_forever
+
+    server, _ = _make_server(trained_workdir, canvas_hw=(96, 128),
+                             max_batch=2, batch_window_ms=1.0)
+    httpd = make_http_server(server, "127.0.0.1", 0,
+                             info={"canvas": [96, 128]})
+    port = httpd.server_address[1]
+    stop = threading.Event()
+    t = threading.Thread(target=serve_forever, args=(httpd, stop, 0.05),
+                         daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            health = json.load(r)
+        assert health["status"] == "ok" and health["canvas"] == [96, 128]
+
+        img_u8 = (np.clip(_scene(), 0, 1) * 255).astype(np.uint8)
+        ok, buf = cv2.imencode(".png",
+                               cv2.cvtColor(img_u8, cv2.COLOR_RGB2BGR))
+        assert ok
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/detect", data=buf.tobytes(),
+            headers={"Content-Type": "application/octet-stream"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            resp = json.load(r)
+        assert resp["n"] == len(resp["boxes"]) == len(resp["scores"])
+        for b in resp["boxes"]:
+            assert len(b) == 4
+    finally:
+        stop.set()
+        t.join(10)
+        server.close()
