@@ -49,6 +49,9 @@ class DetectServer:
         self.max_batch = max_batch
         self.window_s = batch_window_ms / 1e3
         self.params = params
+        # observability: device_calls vs requests shows the coalescing
+        # ratio (healthz reports it; the loadtest probe asserts on it)
+        self.stats = {"requests": 0, "device_calls": 0}
         self.detect = make_detect_fn(model, infer_cfg, label_cfg)
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
@@ -124,6 +127,8 @@ class DetectServer:
                 x = np.zeros((self.max_batch, hc, wc, 3), np.float32)
                 for i, (canvas, _, _, _) in enumerate(batch):
                     x[i] = canvas
+                self.stats["requests"] += len(batch)
+                self.stats["device_calls"] += 1
                 out = self.detect(self.params, self._jnp.asarray(x))
                 out = {k: np.asarray(v) for k, v in out.items()}
                 for i, (_, f, done, slot) in enumerate(batch):
@@ -161,7 +166,8 @@ def make_http_server(server: DetectServer, host: str, port: int,
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {"status": "ok", **(info or {})})
+                self._json(200, {"status": "ok", **server.stats,
+                                 **(info or {})})
             else:
                 self._json(404, {"error": "unknown path"})
 
