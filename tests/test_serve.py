@@ -135,3 +135,31 @@ def test_http_roundtrip(trained_workdir):
         stop.set()
         t.join(10)
         server.close()
+
+
+def test_serve_landmarks_roundtrip(tmp_path):
+    """A landmark-enabled checkpoint serves lm_points in the image's own
+    coordinate frame."""
+    from densebox_tpu.cli import main
+
+    workdir = str(tmp_path / "lmrun")
+    rc = main(["train", "--synthetic", "--workdir", workdir,
+               "--steps", "20", "--batch-size", "8", "--width-mult", "0.125",
+               "--patch-size", "64", "--std-height", "20", "--max-boxes", "3",
+               "--landmarks", "4", "--lm-anchors", "0,0,1,0,1,1,0,1",
+               "--ckpt-every", "10", "--log-every", "10"])
+    assert rc == 0
+    server, cfg = _make_server(workdir, canvas_hw=(96, 128),
+                               max_batch=2, batch_window_ms=1.0)
+    try:
+        dets = server.submit(_scene())
+    finally:
+        server.close()
+    assert "lm_points" in dets and "lm_valid" in dets
+    n = len(dets["boxes"])
+    assert dets["lm_points"].shape == (n, 4, 2)
+    assert dets["lm_valid"].shape == (n, 4)
+    if n:
+        # landmark coords live inside the served image frame
+        assert float(dets["lm_points"].max()) <= 128.0
+        assert float(dets["lm_points"].min()) >= 0.0
