@@ -185,15 +185,30 @@ def _maybe_override_label(cfg, args):
     return cfg
 
 
-def cmd_detect(args) -> int:
-    import cv2
-    import jax.numpy as jnp
-    import numpy as np
-
-    from densebox_tpu.infer import make_detect_fn
+def _load_bundle(workdir):
+    """(cfg, model, params, is_quantized) from either a training run or a
+    ``cli quantize`` int8 export (recognized by its marker file)."""
     from densebox_tpu.models import DenseBox
-    from densebox_tpu.train.checkpoint import load_for_inference
-    from densebox_tpu.utils.viz import draw_detections, save_image
+    from densebox_tpu.train import checkpoint as ck
+
+    ckpt = os.path.join(workdir, "ckpt")
+    if ck.is_quantized_dir(ckpt):
+        from densebox_tpu.models.quant import QuantDenseBox
+
+        cfg, qparams, calibration = ck.load_quantized(ckpt)
+        print(f"int8 checkpoint (calibration: {calibration})",
+              file=sys.stderr)
+        return cfg, QuantDenseBox(cfg.model), qparams, True
+    cfg, params = ck.load_for_inference(ckpt)
+    return cfg, DenseBox(cfg.model), params, False
+
+
+def cmd_quantize(args) -> int:
+    """Export a deployable int8-PTQ checkpoint: calibrate once, save
+    qparams + config; detect/eval/serve then load it directly."""
+    from densebox_tpu.models.quant import quantize_densebox
+    from densebox_tpu.train.checkpoint import (load_for_inference,
+                                               save_quantized)
 
     try:
         cfg, params = load_for_inference(os.path.join(args.workdir, "ckpt"))
@@ -201,11 +216,40 @@ def cmd_detect(args) -> int:
         print(f"error: {e} — train first or point --workdir at a training "
               f"run", file=sys.stderr)
         return 2
+    if args.calib_dir:
+        calib, src = _calib_dir_images(args.calib_dir), \
+            f"--calib-dir {args.calib_dir}"
+    else:
+        calib = src = None          # hermetic synthetic fallback
+    _, qparams = _quantize(params, cfg, calib, src)
+    src = src or "synthetic canvases (hermetic fallback)"
+    save_quantized(os.path.join(args.out, "ckpt"), qparams, cfg,
+                   calibration=src)
+    print(f"wrote int8 checkpoint to {args.out} (calibration: {src})")
+    return 0
+
+
+def cmd_detect(args) -> int:
+    import cv2
+    import jax.numpy as jnp
+    import numpy as np
+
+    from densebox_tpu.infer import make_detect_fn
+    from densebox_tpu.models import DenseBox
+    from densebox_tpu.utils.viz import draw_detections, save_image
+
+    try:
+        cfg, model, params, quantized = _load_bundle(args.workdir)
+    except FileNotFoundError as e:
+        print(f"error: {e} — train first or point --workdir at a training "
+              f"run", file=sys.stderr)
+        return 2
     cfg = _maybe_override_label(cfg, args)
-    infer_model_cfg = cfg.model if args.dtype is None else \
-        type(cfg.model)(**{**cfg.model.__dict__, "compute_dtype": args.dtype})
-    model = DenseBox(infer_model_cfg)
-    if args.quantize:
+    if not quantized and args.dtype is not None:
+        infer_model_cfg = type(cfg.model)(
+            **{**cfg.model.__dict__, "compute_dtype": args.dtype})
+        model = DenseBox(infer_model_cfg)
+    if args.quantize and not quantized:
         if args.dtype is not None:
             print("note: --dtype is ignored with --quantize (the int8 path "
                   "has its own dtypes)", file=sys.stderr)
@@ -252,20 +296,17 @@ def cmd_detect(args) -> int:
 
 
 def cmd_serve(args) -> int:
-    from densebox_tpu.models import DenseBox
     from densebox_tpu.serve import (DetectServer, make_http_server,
                                     serve_forever)
-    from densebox_tpu.train.checkpoint import load_for_inference
 
     try:
-        cfg, params = load_for_inference(os.path.join(args.workdir, "ckpt"))
+        cfg, model, params, quantized = _load_bundle(args.workdir)
     except FileNotFoundError as e:
         print(f"error: {e} — train first or point --workdir at a training "
               f"run", file=sys.stderr)
         return 2
     cfg = _maybe_override_label(cfg, args)
-    model = DenseBox(cfg.model)
-    if args.quantize:
+    if args.quantize and not quantized:
         if args.calib_dir:
             calib, src = _calib_dir_images(args.calib_dir), \
                 f"--calib-dir {args.calib_dir}"
@@ -278,7 +319,7 @@ def cmd_serve(args) -> int:
                           max_batch=args.max_batch,
                           batch_window_ms=args.batch_window_ms)
     info = {"canvas": list(args.canvas), "max_batch": args.max_batch,
-            "quantized": bool(args.quantize),
+            "quantized": bool(args.quantize or quantized),
             "landmarks": cfg.model.num_landmarks,
             "scales": list(icfg.scales)}
     httpd = make_http_server(server, args.host, args.port, info)
@@ -300,17 +341,14 @@ def cmd_eval(args) -> int:
 
     from densebox_tpu.eval import detections_to_numpy, evaluate_detections
     from densebox_tpu.infer import make_detect_fn
-    from densebox_tpu.models import DenseBox
-    from densebox_tpu.train.checkpoint import load_for_inference
 
     try:
-        cfg, params = load_for_inference(os.path.join(args.workdir, "ckpt"))
+        cfg, model, params, quantized = _load_bundle(args.workdir)
     except FileNotFoundError as e:
         print(f"error: {e} — train first or point --workdir at a training "
               f"run", file=sys.stderr)
         return 2
     cfg = _maybe_override_label(cfg, args)
-    model = DenseBox(cfg.model)
     samples = None
     if not args.synthetic:
         from densebox_tpu.data.kitti import load_dataset
@@ -318,7 +356,7 @@ def cmd_eval(args) -> int:
         samples = load_dataset(os.path.join(args.data_dir, "image_2"),
                                os.path.join(args.data_dir, "label_2"),
                                num_landmarks=cfg.model.num_landmarks)
-    if args.quantize:
+    if args.quantize and not quantized:
         if args.calib_dir:
             calib, src = _calib_dir_images(args.calib_dir), \
                 f"--calib-dir {args.calib_dir}"
@@ -627,6 +665,19 @@ def main(argv=None) -> int:
                         "anchors (flat ax,ay list)")
     _add_infer_flags(d)
     d.set_defaults(fn=cmd_detect)
+
+    q = sub.add_parser("quantize", help="export a deployable int8-PTQ "
+                                        "checkpoint (calibrate once; "
+                                        "detect/eval/serve load it "
+                                        "directly)")
+    q.add_argument("--workdir", required=True,
+                   help="training run to quantize")
+    q.add_argument("--out", required=True,
+                   help="output directory for the int8 checkpoint")
+    q.add_argument("--calib-dir", default=None,
+                   help="directory of representative images for activation "
+                        "calibration (default: hermetic synthetic canvases)")
+    q.set_defaults(fn=cmd_quantize)
 
     s = sub.add_parser("serve", help="batched HTTP inference server "
                                      "(POST /detect, GET /healthz)")

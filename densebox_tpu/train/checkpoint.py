@@ -55,6 +55,51 @@ def restore_checkpoint(mngr: ocp.CheckpointManager, template: TrainState
     return state, DenseBoxConfig.from_dict(restored["config"])
 
 
+_QUANT_MARKER = "quantized.json"
+
+
+def save_quantized(ckpt_dir: str, qparams, cfg: DenseBoxConfig,
+                   calibration: str = "") -> None:
+    """Export an int8-PTQ checkpoint (the ``cli quantize`` deployment
+    artifact): qparams pytree + serialized config + a marker recording the
+    calibration source, so detect/eval/serve load it directly instead of
+    recalibrating per run."""
+    import json as _json
+
+    mngr = ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=1, create=True, enable_async_checkpointing=False))
+    mngr.save(0, args=ocp.args.Composite(
+        qparams=ocp.args.StandardSave(qparams),
+        config=ocp.args.JsonSave(cfg.to_dict())))
+    mngr.wait_until_finished()
+    with open(os.path.join(ckpt_dir, _QUANT_MARKER), "w") as f:
+        _json.dump({"format": 1, "calibration": calibration}, f)
+
+
+def is_quantized_dir(ckpt_dir: str) -> bool:
+    return os.path.exists(os.path.join(ckpt_dir, _QUANT_MARKER))
+
+
+def load_quantized(ckpt_dir: str):
+    """Restore (cfg, qparams, calibration_info) from a ``save_quantized``
+    export."""
+    import json as _json
+
+    mngr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
+    step = mngr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    restored = mngr.restore(step, args=ocp.args.Composite(
+        qparams=ocp.args.StandardRestore(),
+        config=ocp.args.JsonRestore()))
+    with open(os.path.join(ckpt_dir, _QUANT_MARKER)) as f:
+        meta = _json.load(f)
+    return (DenseBoxConfig.from_dict(restored["config"]),
+            restored["qparams"], meta.get("calibration", ""))
+
+
 def load_for_inference(ckpt_dir: str):
     """Restore (cfg, params) from the latest checkpoint for detect-time use,
     reconstructing the model purely from the stored config."""
