@@ -174,6 +174,15 @@ def main() -> None:
               "turbo": dict(stem="s2d4", depth=3, wm=0.25, batch=256),
               }[args.preset]
 
+    if (args.mode == "infer" and args.dtype == "int8"
+            and args.skip_fusion != "auto"):
+        # the int8 forward (models/quant.py) materializes the skip concat
+        # unconditionally — the knob targets the f32/bf16 model's train
+        # path. A silently-identical A/B must not masquerade as a
+        # measurement.
+        print("warning: --skip-fusion has no effect on the int8 inference "
+              "path; use --mode train or --dtype bfloat16", file=sys.stderr)
+
     h, w = (96, 128) if args.smoke else (480, 640)
     batch = 2 if args.smoke else (args.batch or preset["batch"])
     wm = 0.125 if args.smoke else (args.width_mult or preset["wm"])

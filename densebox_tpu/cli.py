@@ -245,6 +245,9 @@ def cmd_detect(args) -> int:
               f"run", file=sys.stderr)
         return 2
     cfg = _maybe_override_label(cfg, args)
+    if quantized and args.dtype is not None:
+        print("note: --dtype is ignored on an int8 checkpoint export "
+              "(the int8 path has its own dtypes)", file=sys.stderr)
     if not quantized and args.dtype is not None:
         infer_model_cfg = type(cfg.model)(
             **{**cfg.model.__dict__, "compute_dtype": args.dtype})

@@ -53,11 +53,12 @@ class ModelCfg:
     dropout_rate: float = 0.5       # dropout between head convs (paper §3.2)
     dropout_impl: str = "auto"      # 'flax' | 'packed' | 'auto'. 'packed'
     # derives 4 mask bytes per generated u32 word instead of one mask per
-    # word (flax bernoulli): the two ~118M-element head masks are pure
-    # RNG-traffic (round-3 train profile), so packing quarters the
-    # generator bytes. Keep probability is quantized to 1/256 (exact for
-    # the paper's 0.5). 'auto' = 'packed' on TPU, 'flax' elsewhere (CPU
-    # goldens unchanged).
+    # word (flax bernoulli), quartering the generator bytes of the two
+    # ~118M-element head masks; keep probability quantizes to 1/256
+    # (exact for the paper's 0.5). 'auto' = 'flax' EVERYWHERE: packed was
+    # measured as a remote-compile bomb on the axon runtime (>20 min
+    # compiles, BASELINE.md round 3) and stays a wired, unit-tested
+    # backend for runtimes with a local compiler only.
     compute_dtype: str = "float32"  # 'bfloat16' for production inference
     param_dtype: str = "float32"
 

@@ -31,15 +31,24 @@ _load_failed = False
 
 
 def _compile() -> None:
+    # compile to a per-process temp name and atomically rename: concurrent
+    # processes (multi-host loaders, pytest-xdist) must never dlopen a
+    # half-written .so or truncate one another's mapped library
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-fPIC", "-shared", "-std=c++17",
         "-I/usr/include/opencv4",
-        _SRC, "-o", _SO,
+        _SRC, "-o", tmp,
         "-lopencv_core", "-lopencv_imgcodecs", "-lopencv_imgproc",
         "-pthread",
     ]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp, _SO)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _get_lib() -> Optional[ctypes.CDLL]:

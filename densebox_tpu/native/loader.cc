@@ -103,8 +103,16 @@ int densebox_load_canvas(const char** paths, int n, int hc, int wc,
     workers.emplace_back([&]() {
       for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
         scales[i] = 1.0f;
-        load_one(paths[i], hc, wc, out + img_stride * i, &scales[i],
-                 &status[i]);
+        // an exception escaping a std::thread lambda is std::terminate —
+        // a degenerate image (e.g. resize to a 0-dim dsize) must come
+        // back as a per-image status the Python side can raise, exactly
+        // like the Python backend's cv2.error
+        try {
+          load_one(paths[i], hc, wc, out + img_stride * i, &scales[i],
+                   &status[i]);
+        } catch (...) {
+          status[i] = kBadImage;
+        }
       }
     });
   }

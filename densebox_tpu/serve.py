@@ -95,6 +95,18 @@ class DetectServer:
     def close(self) -> None:
         self._stop.set()
         self._q.put(None)
+        self._worker.join(5.0)
+        # fail pending requests fast instead of leaving their submit()
+        # callers to ride out the full request timeout
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                _, _, done, slot = item
+                slot["error"] = "server closed"
+                done.set()
 
     # -- device loop -------------------------------------------------------
 

@@ -65,7 +65,14 @@ def save_quantized(ckpt_dir: str, qparams, cfg: DenseBoxConfig,
     calibration source, so detect/eval/serve load it directly instead of
     recalibrating per run."""
     import json as _json
+    import shutil
 
+    # re-exporting over an existing artifact is the expected workflow
+    # (retrain -> refresh); orbax raises StepAlreadyExistsError on a
+    # repeated step, so clear a previous EXPORT (marker-verified — never
+    # a training run) first
+    if is_quantized_dir(ckpt_dir):
+        shutil.rmtree(ckpt_dir)
     mngr = ocp.CheckpointManager(
         os.path.abspath(ckpt_dir),
         options=ocp.CheckpointManagerOptions(

@@ -101,3 +101,17 @@ def test_serve_from_export(exported):
         stop.set()
         t.join(10)
         server.close()
+
+
+def test_reexport_overwrites(exported, capsys):
+    """Re-running `cli quantize` with the same --out refreshes the export
+    instead of crashing on the existing orbax step."""
+    from densebox_tpu.cli import main
+    from densebox_tpu.train.checkpoint import load_quantized
+
+    workdir, out = exported
+    rc = main(["quantize", "--workdir", workdir, "--out", out])
+    assert rc == 0
+    assert "wrote int8 checkpoint" in capsys.readouterr().out
+    cfg, qparams, _ = load_quantized(os.path.join(out, "ckpt"))
+    assert "det/det_conv1" in qparams
