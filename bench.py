@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -25,6 +27,55 @@ import jax.numpy as jnp
 from densebox_tpu.utils.compile_cache import enable_persistent_cache
 
 enable_persistent_cache()
+
+
+def _emit_failure(stage: str, detail: str) -> None:
+    """The round artifact must stay parseable even when the hardware is
+    sick: emit ONE structured JSON line instead of a traceback (round-3
+    verdict: BENCH_r03.json recorded a raw backend-init traceback)."""
+    print(json.dumps({
+        "error": detail, "stage": stage,
+        "backend": os.environ.get("JAX_PLATFORMS") or "axon/tpu",
+        "value": None,
+    }))
+    sys.exit(1)
+
+
+def probe_backend(retries: int = 3, backoff_s: float = 60.0,
+                  timeout_s: float = 150.0) -> None:
+    """Verify the accelerator backend initializes BEFORE committing this
+    process to it. The axon chip grant is exclusive and can be left wedged
+    by killed remote compiles (BASELINE.md round-3 'packed dropout');
+    a wedged grant makes init hang indefinitely, which cannot be timed out
+    in-process — so probe in a subprocess with a hard timeout and bounded
+    backoff (the wedge clears when the remote compile finishes). Killing
+    an init-hung probe child is safe; it is killing a process mid-COMPILE
+    that wedges the grant."""
+    code = ("import jax, jax.numpy as jnp; d = jax.devices(); "
+            "print(float(jnp.ones((8, 8)).sum()), d[0])")
+    last = "unknown"
+    for attempt in range(retries):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+            if r.returncode == 0:
+                # exclusive-grant re-registration race between chained TPU
+                # processes (memory/BASELINE notes): give the grant time to
+                # release before this process claims it
+                time.sleep(15)
+                return
+            err = r.stderr.strip().splitlines()
+            last = err[-1] if err else f"probe exited rc {r.returncode}"
+        except subprocess.TimeoutExpired:
+            last = (f"backend init timed out after {timeout_s:.0f}s "
+                    "(exclusive chip grant wedged? see BASELINE.md)")
+        if attempt < retries - 1:
+            print(f"bench: backend probe failed ({last}); "
+                  f"retrying in {backoff_s:.0f}s "
+                  f"[{attempt + 1}/{retries}]", file=sys.stderr)
+            time.sleep(backoff_s)
+    _emit_failure("backend-init", last)
 
 
 def _bench_train(args, model_cfg, batch: int, iters: int) -> None:
@@ -37,17 +88,38 @@ def _bench_train(args, model_cfg, batch: int, iters: int) -> None:
     from densebox_tpu.train.trainer import make_canvas_train_step
 
     patch = 64 if args.smoke else args.patch
-    cfg = DenseBoxConfig(
-        model=model_cfg,
-        label=LabelCfg(patch_size=patch,
-                       std_height_px=50.0 * patch / 240),
-        loss=LossCfg(backend=args.ohem_backend),
-        train=TrainCfg(batch_size=batch, remat=args.remat))
-    canvas_cfg = LabelCfg(patch_size=2 * patch,
-                          std_height_px=cfg.label.std_height_px)
-    model = DenseBox(cfg.model)
-    b = synthetic_batch(jax.random.key(0), batch, canvas_cfg, max_boxes=8)
-    state = create_train_state(model, cfg, b["image"][:1, :patch, :patch])
+
+    def build(patch_px: int, bsz: int):
+        cfg = DenseBoxConfig(
+            model=model_cfg,
+            label=LabelCfg(patch_size=patch_px,
+                           std_height_px=50.0 * patch_px / 240),
+            loss=LossCfg(backend=args.ohem_backend),
+            train=TrainCfg(batch_size=bsz, remat=args.remat))
+        canvas_cfg = LabelCfg(patch_size=2 * patch_px,
+                              std_height_px=cfg.label.std_height_px)
+        model = DenseBox(cfg.model)
+        b = synthetic_batch(jax.random.key(0), bsz, canvas_cfg, max_boxes=8)
+        state = create_train_state(model, cfg,
+                                   b["image"][:1, :patch_px, :patch_px])
+        return cfg, model, b, state
+
+    if not args.smoke and args.compile_probe in ("auto", "on") and (
+            args.compile_probe == "on"
+            or jax.default_backend() not in ("cpu",)):
+        # tiny-shape train-step compile first (compile-bomb guard — see the
+        # infer-path comment / BASELINE.md packed-dropout entry)
+        t_p0 = time.perf_counter()
+        pcfg, pmodel, pb, pstate = build(64, 8)
+        pstep = make_canvas_train_step(pmodel, pcfg)
+        pstate, pmetrics = jax.jit(pstep)(pstate, pb)
+        float(pmetrics["loss_total"])
+        print(f"bench: tiny-shape train compile probe ok "
+              f"({time.perf_counter() - t_p0:.1f}s). Full-shape compile "
+              "next — NEVER kill this process mid-compile (BASELINE.md).",
+              file=sys.stderr)
+
+    cfg, model, b, state = build(patch, batch)
     step = make_canvas_train_step(model, cfg)
 
     @jax.jit
@@ -58,15 +130,18 @@ def _bench_train(args, model_cfg, batch: int, iters: int) -> None:
             return st, acc + metrics["loss_total"]
         return jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0)))
 
-    t_c0 = time.perf_counter()
-    st, acc = loop(state, b)
-    float(acc)
-    compile_s = time.perf_counter() - t_c0
-    best = float("inf")
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        float(loop(state, b)[1])
-        best = min(best, time.perf_counter() - t0)
+    try:
+        t_c0 = time.perf_counter()
+        st, acc = loop(state, b)
+        float(acc)
+        compile_s = time.perf_counter() - t_c0
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            float(loop(state, b)[1])
+            best = min(best, time.perf_counter() - t0)
+    except Exception as e:  # noqa: BLE001 — artifact must stay parseable
+        _emit_failure("compile-or-run", f"{type(e).__name__}: {e}")
     steps_s = iters / best
     print(json.dumps({
         "device": str(jax.devices()[0]), "preset": args.preset,
@@ -161,7 +236,38 @@ def main() -> None:
                          "rasterization + OHEM loss + SGD)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes for CPU smoke testing")
+    ap.add_argument("--backend-probe", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="subprocess-probe backend health (bounded retry) "
+                         "before committing to it; auto = on unless --smoke "
+                         "or JAX_PLATFORMS=cpu")
+    ap.add_argument("--probe-retries", type=int, default=3)
+    ap.add_argument("--probe-backoff", type=float, default=60.0,
+                    help="seconds between backend probe retries")
+    ap.add_argument("--probe-timeout", type=float, default=150.0,
+                    help="per-attempt backend init timeout (a wedged grant "
+                         "hangs forever)")
+    ap.add_argument("--compile-probe", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="compile a tiny-shape variant first so a "
+                         "pathological full-shape compile is never the "
+                         "first thing the remote compiler sees; auto = on "
+                         "on TPU backends")
     args = ap.parse_args()
+
+    # --smoke (and explicit JAX_PLATFORMS=cpu) must run on CPU, but this
+    # machine's sitecustomize overrides jax_platforms via jax.config at
+    # interpreter start — the env var alone cannot deselect the TPU (same
+    # gotcha as tests/conftest.py). Force it through jax.config.
+    if args.smoke or os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    plats = jax.config.jax_platforms or ""
+    on_cpu = plats.split(",")[0] == "cpu"
+    want_probe = (args.backend_probe == "on"
+                  or (args.backend_probe == "auto" and not on_cpu))
+    if want_probe:
+        probe_backend(args.probe_retries, args.probe_backoff,
+                      args.probe_timeout)
 
     from densebox_tpu.config import InferCfg, LabelCfg, ModelCfg
     from densebox_tpu.infer import detect_batch
@@ -239,15 +345,38 @@ def main() -> None:
             return acc + total
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-    t_c0 = time.perf_counter()
-    float(pipeline_loop(params, images))  # compile + warm (scalar sync)
-    compile_s = time.perf_counter() - t_c0
+    if args.compile_probe == "on" or (
+            args.compile_probe == "auto"
+            and jax.default_backend() not in ("cpu",)):
+        # tiny-shape compile first: a full-shape compile through the remote
+        # axon compiler can be a 20-min pathological case (BASELINE.md
+        # packed-dropout entry), and a killed compile RPC wedges the
+        # exclusive chip grant for hours. Compiling a 96x128 variant first
+        # bounds the risk: it exercises every kernel class in the pipeline
+        # in seconds, so the full compile is never the first signal.
+        t_p0 = time.perf_counter()
+        tiny = jnp.zeros((2, 96, 128, 3), dtype)
+        out = jax.jit(lambda p, x: detect_batch(model, p, x, icfg, lcfg))(
+            params, tiny)
+        float(out["scores"].astype(jnp.float32).sum())  # scalar sync
+        print(f"bench: tiny-shape compile probe ok "
+              f"({time.perf_counter() - t_p0:.1f}s). Full-shape compile "
+              "next — NEVER kill this process mid-compile (a killed remote "
+              "compile wedges the chip grant; BASELINE.md).",
+              file=sys.stderr)
 
-    best = float("inf")
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        float(pipeline_loop(params, images))
-        best = min(best, time.perf_counter() - t0)
+    try:
+        t_c0 = time.perf_counter()
+        float(pipeline_loop(params, images))  # compile + warm (scalar sync)
+        compile_s = time.perf_counter() - t_c0
+
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            float(pipeline_loop(params, images))
+            best = min(best, time.perf_counter() - t0)
+    except Exception as e:  # noqa: BLE001 — artifact must stay parseable
+        _emit_failure("compile-or-run", f"{type(e).__name__}: {e}")
 
     img_s = batch * iters / best
     info = {

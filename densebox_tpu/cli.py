@@ -539,6 +539,14 @@ def _match_landmarks(dets, batch):
     boxes = np.asarray(dets["boxes"])
     valid = np.asarray(dets["valid"])
     lm_pts = np.asarray(dets["lm_points"])
+    # prediction-side decode mask: detections past the lm_topk decode cap
+    # carry zeroed lm_points with lm_valid all-False — excluding them keeps
+    # capped (undecoded) predictions out of the NME instead of scoring
+    # (0, 0) points as real samples (round-3 advice)
+    pred_lm_valid = (np.asarray(dets["lm_valid"]) if "lm_valid" in dets
+                     else np.ones(lm_pts.shape[:2], bool))
+    if pred_lm_valid.ndim == 3:
+        pred_lm_valid = pred_lm_valid.any(axis=-1)
     gt_boxes = np.asarray(batch["boxes"])
     gt_valid = np.asarray(batch["box_valid"])
     gt_lms = np.asarray(batch["landmarks"])
@@ -554,7 +562,7 @@ def _match_landmarks(dets, batch):
         ious = np.array(iou_matrix(jnp.asarray(boxes[i]),
                                    jnp.asarray(gt_boxes[i])))
         ious[:, ~gv] = -1.0
-        for d in np.nonzero(valid[i])[0]:
+        for d in np.nonzero(valid[i] & pred_lm_valid[i])[0]:
             j = int(np.argmax(ious[d]))
             if ious[d, j] < 0.5:
                 continue

@@ -336,7 +336,12 @@ def quantize_densebox(params, cfg: ModelCfg, calib_images: jnp.ndarray):
     # equal — guard the invariant at calibration time (eager, cheap)
     head_taps = [float(taps[f"{p}/{p}_conv1"]) for p in ("det", "loc", "lm")
                  if f"{p}/{p}_conv1" in taps]
-    assert all(t == head_taps[0] for t in head_taps[1:]), head_taps
+    if any(t != head_taps[0] for t in head_taps[1:]):
+        # a real exception, not an assert: this invariant is load-bearing
+        # for the +4% shared-feat-quantize keep and must survive python -O
+        raise ValueError(
+            "calibration invariant violated: head conv1 input scales differ "
+            f"({head_taps}) — the shared-feat quantize would be wrong")
     return qparams
 
 

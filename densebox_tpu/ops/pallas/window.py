@@ -132,7 +132,15 @@ def gather_windows_pallas(
     # (B, D, 1) origins = every landmark channel shares its detection's
     # window (anchor-less decode) -> single fused-L DMA per detection
     shared = y0.shape[2] == 1 and num_lm > 1
-    assert win <= min(STRIP_H, STRIP_W), win
+    # the aligned strip must hold the window PLUS the origin-alignment
+    # slack (ya = 8-aligned floor of y0 -> up to 7 rows; xa = 128-aligned
+    # floor of x0 -> up to 127 lanes); beyond these the one-hot pickers
+    # would target rows/cols outside the strip and silently return zeros
+    if win > STRIP_H - 7 or win > STRIP_W - 127:
+        raise ValueError(
+            f"window {win} exceeds the strip geometry (max "
+            f"{min(STRIP_H - 7, STRIP_W - 127)} with STRIP_H={STRIP_H}, "
+            f"STRIP_W={STRIP_W}) — use the jax window backend")
     if s > 8 or hm > 0x3FFF or wm > 0x3FFF:
         raise ValueError(
             f"packed-index limits exceeded: {s} scales (<=8), map "

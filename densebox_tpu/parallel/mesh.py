@@ -70,16 +70,27 @@ def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh) -> Dict[str, jax.Array]
     return place_host_batch(batch, batch_sharding(mesh))
 
 
+def _place_local_leaf(v: Any, sh: NamedSharding) -> jax.Array:
+    """Multi-process placement of one host-local leaf. Typed PRNG key
+    arrays (extended dtypes) cannot round-trip through numpy — unwrap to
+    their uint32 key data, assemble the global array, and re-wrap with the
+    same impl (TrainState.key is such a leaf; see round-3 advice)."""
+    dtype = getattr(v, "dtype", None)
+    if dtype is not None and jax.dtypes.issubdtype(dtype, jax.dtypes.prng_key):
+        impl = jax.random.key_impl(v)
+        data = jax.make_array_from_process_local_data(
+            sh, np.asarray(jax.random.key_data(v)))
+        return jax.random.wrap_key_data(data, impl=impl)
+    return jax.make_array_from_process_local_data(sh, np.asarray(v))
+
+
 def place_host_state(state: Any, shardings: Any) -> Any:
     """Place a host-resident train state onto the mesh. Multi-process uses
     ``make_array_from_process_local_data`` per leaf (for replicated
     shardings every process's local data is the full array, which it
     handles); single-process is a plain device_put."""
     if jax.process_count() > 1:
-        return jax.tree.map(
-            lambda v, sh: jax.make_array_from_process_local_data(
-                sh, np.asarray(v)),
-            state, shardings)
+        return jax.tree.map(_place_local_leaf, state, shardings)
     return jax.device_put(state, shardings)
 
 

@@ -32,6 +32,11 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+# /detect body cap: an encoded image legitimately tops out in the low MBs;
+# anything larger is a client bug or abuse — refuse with 413 instead of
+# allocating arbitrary memory in a handler thread.
+MAX_BODY_BYTES = 32 * 1024 * 1024
+
 
 class DetectServer:
     """Request-coalescing wrapper around one jitted detect program."""
@@ -82,10 +87,17 @@ class DetectServer:
                timeout: Optional[float] = 60.0) -> Dict[str, np.ndarray]:
         """Blocking detect on one (H, W, 3) float32 RGB image in [0, 1].
         Returns numpy detections in the image's own coordinates."""
+        if self._stop.is_set():
+            raise RuntimeError("server closed")
         canvas, f = self._letterbox(image_rgb_f32)
         done = threading.Event()
         slot: Dict[str, np.ndarray] = {}
         self._q.put((canvas, f, done, slot))
+        if self._stop.is_set() and not done.wait(0.05):
+            # raced with close(): our item may have been enqueued after the
+            # close-side drain, with no worker left to consume it — fail
+            # fast instead of riding out the full request timeout.
+            raise RuntimeError("server closed")
         if not done.wait(timeout):
             raise TimeoutError("detect request timed out")
         if "error" in slot:
@@ -190,6 +202,10 @@ def make_http_server(server: DetectServer, host: str, port: int,
             import cv2
 
             n = int(self.headers.get("Content-Length", 0))
+            if n > MAX_BODY_BYTES:
+                self._json(413, {"error": "request body too large "
+                                          f"(max {MAX_BODY_BYTES} bytes)"})
+                return
             raw = self.rfile.read(n)
             img = cv2.imdecode(np.frombuffer(raw, np.uint8),
                                cv2.IMREAD_COLOR)

@@ -185,3 +185,29 @@ def test_evaluate_kitti_truncation_bins():
     assert res["n_gt_easy"] == 0 and res["n_gt_moderate"] == 0
     assert res["n_gt_hard"] == 1
     assert res["ap_hard"] == pytest.approx(1.0)
+
+
+def test_match_landmarks_skips_undecoded_predictions():
+    """Detections past the lm_topk decode cap carry zeroed lm_points with
+    lm_valid all-False; _match_landmarks must exclude them from the NME
+    instead of scoring (0, 0) as real predictions (round-3 advice)."""
+    from densebox_tpu.cli import _match_landmarks
+
+    box = np.array([10.0, 10.0, 30.0, 30.0], np.float32)
+    lm = np.array([[12.0, 14.0], [26.0, 25.0]], np.float32)
+    dets = {
+        "boxes": np.stack([box, box])[None],          # (1, 2, 4)
+        "valid": np.array([[True, True]]),
+        "lm_points": np.stack([lm, np.zeros_like(lm)])[None],
+        "lm_valid": np.array([[[True, True], [False, False]]]),
+    }
+    batch = {
+        "boxes": box[None, None],                     # (1, 1, 4)
+        "box_valid": np.array([[True]]),
+        "landmarks": lm[None, None],                  # (1, 1, 2, 2)
+    }
+    samples = _match_landmarks(dets, batch)
+    # only the decoded detection contributes; the capped one (all-False
+    # lm_valid, zeroed points) is excluded
+    assert len(samples) == 1
+    np.testing.assert_array_equal(samples[0][0], lm)

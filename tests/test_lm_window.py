@@ -230,3 +230,16 @@ def test_selected_decode_bf16_close_to_f32():
         dist = np.linalg.norm(np.asarray(f32 - b16), axis=-1)
         assert float(dist.max()) < 1.0, (seed, dist.max())
         np.testing.assert_array_equal(np.asarray(ok32), np.asarray(ok16))
+
+
+def test_oversized_window_raises():
+    """Windows larger than the strip minus origin-alignment slack must fail
+    loudly — the one-hot pickers would silently return zero-filled rows
+    (round-3 advice)."""
+    import pytest
+
+    maps = jnp.zeros((1, 1, 2, 64, 64), jnp.float32)
+    sel = jnp.zeros((1, 2), jnp.int32)
+    y0 = jnp.zeros((1, 2, 2), jnp.int32)
+    with pytest.raises(ValueError, match="strip geometry"):
+        gather_windows_pallas(maps, sel, y0, y0, win=36)

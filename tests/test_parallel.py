@@ -230,3 +230,31 @@ def test_fit_single_writer_logging(tmp_path, capsys, monkeypatch):
     assert "[train step" not in out
     assert np.isfinite(result.last_metrics["loss_total"])
     assert "2" in os.listdir(tmp_path / "ckpt")
+
+
+def test_place_host_state_prng_key_leaf(monkeypatch):
+    """Multi-process place_host_state must not crash on typed PRNG key
+    leaves (TrainState.key): np.asarray on an extended-dtype key array
+    raises TypeError, so key leaves unwrap via key_data and re-wrap with
+    the same impl (round-3 advice, medium)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from densebox_tpu.parallel import mesh as mesh_lib
+
+    mesh = make_mesh()
+    repl = NamedSharding(mesh, P())
+    key = jax.random.key(7)
+    state = {"key": key, "step": np.int32(3)}
+    shardings = {"key": repl, "step": repl}
+
+    monkeypatch.setattr(mesh_lib.jax, "process_count", lambda: 2)
+    placed = mesh_lib.place_host_state(state, shardings)
+    assert jax.dtypes.issubdtype(placed["key"].dtype, jax.dtypes.prng_key)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(placed["key"])),
+        np.asarray(jax.random.key_data(key)))
+    # the impl survives the round-trip: identical fold_in/split streams
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(jax.random.fold_in(placed["key"], 5))),
+        np.asarray(jax.random.key_data(jax.random.fold_in(key, 5))))
+    assert int(placed["step"]) == 3
