@@ -225,6 +225,9 @@ def main() -> None:
                     help="int8 conv backend: xla (lax convs) | pallas "
                          "(fused conv+requant kernel) | hybrid (XLA convs "
                          "+ requant-only Pallas epilogue)")
+    ap.add_argument("--refine-width", type=int, default=None,
+                    help="refine-branch conv width override (A/B knob for "
+                         "the landmark pipeline; default ModelCfg 64)")
     ap.add_argument("--stem", default=None, choices=["conv", "s2d", "s2d4"],
                     help="override the preset's stem (s2d4 = whole trunk at "
                          "output stride; the bandwidth-lean variant)")
@@ -294,6 +297,8 @@ def main() -> None:
     wm = 0.125 if args.smoke else (args.width_mult or preset["wm"])
     iters = 2 if args.smoke else args.iters
 
+    refine_width = (args.refine_width if args.refine_width is not None
+                    else ModelCfg.refine_width)
     cfg = ModelCfg(num_landmarks=args.landmarks,
                    use_refine=args.landmarks > 0,
                    width_mult=wm,
@@ -301,7 +306,8 @@ def main() -> None:
                                   else args.dtype),
                    stem=args.stem or preset["stem"],
                    trunk_depth=args.trunk_depth or preset["depth"],
-                   skip_fusion=args.skip_fusion)
+                   skip_fusion=args.skip_fusion,
+                   refine_width=refine_width)
     model = DenseBox(cfg)
     icfg = InferCfg(scales=tuple(float(s) for s in args.scales.split(",")),
                     score_thresh=0.5, topk_per_scale=256, max_dets=128,

@@ -229,6 +229,58 @@ def cmd_quantize(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Serialize the full jitted detect pipeline (params baked in) to a
+    self-contained StableHLO artifact — loading it needs jax only, not
+    this package or the checkpoint (densebox_tpu/export.py)."""
+    import numpy as np
+
+    from densebox_tpu.export import (export_detect_program, load_exported,
+                                     save_exported)
+
+    try:
+        cfg, model, params, quantized = _load_bundle(args.workdir)
+    except FileNotFoundError as e:
+        print(f"error: {e} — train first or point --workdir at a training "
+              f"run", file=sys.stderr)
+        return 2
+    cfg = _maybe_override_label(cfg, args)
+    if args.quantize and not quantized:
+        if args.calib_dir:
+            calib, src = _calib_dir_images(args.calib_dir), \
+                f"--calib-dir {args.calib_dir}"
+        else:
+            calib = src = None      # hermetic synthetic fallback
+        model, params = _quantize(params, cfg, calib, src)
+        quantized = True
+    icfg = _merged_infer_cfg(cfg.infer, args)
+    platforms = args.platforms.split(",") if args.platforms else None
+    exported = export_detect_program(
+        model, params, icfg, cfg.label, args.batch, tuple(args.canvas),
+        platforms=platforms)
+    meta = {
+        "batch": args.batch, "canvas": list(args.canvas),
+        "quantized": bool(quantized),
+        "landmarks": cfg.model.num_landmarks,
+        "scales": list(icfg.scales),
+        "input": f"({args.batch}, {args.canvas[0]}, {args.canvas[1]}, 3) "
+                 "float32 RGB in [0, 1]",
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    save_exported(args.out, exported, meta)
+    size = os.path.getsize(args.out)
+    print(f"wrote {args.out} ({size / 1e6:.1f} MB, "
+          f"platforms {list(exported.platforms)})")
+    if args.verify:
+        call, _ = load_exported(args.out)
+        x = np.zeros((args.batch, args.canvas[0], args.canvas[1], 3),
+                     np.float32)
+        out = call(x)
+        print("verify: reload + call ok —",
+              {k: tuple(v.shape) for k, v in out.items()})
+    return 0
+
+
 def cmd_detect(args) -> int:
     import cv2
     import jax.numpy as jnp
@@ -689,6 +741,34 @@ def main(argv=None) -> int:
                    help="directory of representative images for activation "
                         "calibration (default: hermetic synthetic canvases)")
     q.set_defaults(fn=cmd_quantize)
+
+    x = sub.add_parser("export", help="serialize the jitted detect "
+                                      "pipeline (params baked in) to a "
+                                      "self-contained StableHLO artifact — "
+                                      "loading needs jax only")
+    x.add_argument("--workdir", required=True,
+                   help="training run (or int8 checkpoint export) to "
+                        "serialize")
+    x.add_argument("--out", required=True, help="output artifact path")
+    x.add_argument("--batch", type=int, default=8,
+                   help="fixed batch of the exported program")
+    x.add_argument("--canvas", type=int, nargs=2, default=(480, 640),
+                   help="fixed input H W of the exported program")
+    x.add_argument("--platforms", default=None,
+                   help="comma-separated lowering platforms (e.g. "
+                        "'tpu,cpu'); default: current backend")
+    x.add_argument("--quantize", action="store_true",
+                   help="export the int8-PTQ pipeline")
+    x.add_argument("--calib-dir", default=None,
+                   help="representative images for int8 calibration "
+                        "(default: hermetic synthetic canvases)")
+    x.add_argument("--no-verify", dest="verify", action="store_false",
+                   help="skip the reload+call round-trip check")
+    x.add_argument("--lm-anchors", default=None,
+                   help="override the checkpoint's box-relative landmark "
+                        "anchors (flat ax,ay list)")
+    _add_infer_flags(x)
+    x.set_defaults(fn=cmd_export)
 
     s = sub.add_parser("serve", help="batched HTTP inference server "
                                      "(POST /detect, GET /healthz)")

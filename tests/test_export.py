@@ -1,0 +1,114 @@
+"""StableHLO export surface (densebox_tpu/export.py + cli export): the
+serialized artifact reproduces the live pipeline's detections and is
+loadable with jax alone (no densebox_tpu, no checkpoint)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def trained_workdir(tmp_path_factory):
+    from densebox_tpu.cli import main
+
+    workdir = str(tmp_path_factory.mktemp("export_run") / "run")
+    rc = main(["train", "--synthetic", "--workdir", workdir,
+               "--steps", "30", "--batch-size", "8", "--width-mult", "0.125",
+               "--patch-size", "64", "--std-height", "20", "--max-boxes", "3",
+               "--lr", "3e-3", "--ckpt-every", "15", "--log-every", "10"])
+    assert rc == 0
+    return workdir
+
+
+def _scene(seed=0, h=96, w=128):
+    rng = np.random.RandomState(seed)
+    img = (rng.rand(h, w, 3) * 40).astype(np.float32)
+    img[30:52, 40:62] = 230.0
+    return img / 255.0
+
+
+def test_export_roundtrip_matches_live_pipeline(trained_workdir, tmp_path):
+    import jax.numpy as jnp
+
+    from densebox_tpu.cli import main
+    from densebox_tpu.export import load_exported
+    from densebox_tpu.infer import make_detect_fn
+    from densebox_tpu.models import DenseBox
+    from densebox_tpu.train.checkpoint import load_for_inference
+
+    out = str(tmp_path / "detect.stablehlo")
+    rc = main(["export", "--workdir", trained_workdir, "--out", out,
+               "--batch", "2", "--canvas", "96", "128"])
+    assert rc == 0 and os.path.exists(out)
+
+    call, meta = load_exported(out)
+    assert meta["batch"] == 2 and meta["canvas"] == [96, 128]
+    x = np.stack([_scene(0), _scene(1)]).astype(np.float32)
+    got = {k: np.asarray(v) for k, v in call(x).items()}
+
+    cfg, params = load_for_inference(f"{trained_workdir}/ckpt")
+    detect = make_detect_fn(DenseBox(cfg.model), cfg.infer, cfg.label)
+    want = {k: np.asarray(v) for k, v in detect(params, jnp.asarray(x)).items()}
+
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], atol=1e-5, err_msg=k)
+
+
+def test_export_loads_without_densebox(trained_workdir, tmp_path):
+    """The deployment claim: the artifact runs in a process that imports
+    jax only — no densebox_tpu on the path, no checkpoint."""
+    from densebox_tpu.cli import main
+
+    out = str(tmp_path / "detect.stablehlo")
+    rc = main(["export", "--workdir", trained_workdir, "--out", out,
+               "--batch", "1", "--canvas", "96", "128", "--no-verify"])
+    assert rc == 0
+
+    code = f"""
+import sys
+sys.modules['densebox_tpu'] = None  # hard-block accidental imports
+import json
+import numpy as np
+import jax
+jax.config.update('jax_platforms', 'cpu')
+from jax import export as jexport
+MAGIC = b"DENSEBOX_STABLEHLO_V1\\n"
+with open({out!r}, 'rb') as f:
+    assert f.read(len(MAGIC)) == MAGIC
+    meta = json.loads(f.readline().decode())
+    exported = jexport.deserialize(f.read())
+x = np.zeros(tuple([meta['batch'], *meta['canvas'], 3]), np.float32)
+out = exported.call(x)
+print(json.dumps(sorted(out.keys())))
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300, env=env, cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    keys = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "boxes" in keys and "scores" in keys and "valid" in keys
+
+
+def test_export_quantized(trained_workdir, tmp_path):
+    """The int8-PTQ pipeline exports and its artifact reproduces the live
+    quantized pipeline."""
+    import jax.numpy as jnp
+
+    from densebox_tpu.cli import main
+    from densebox_tpu.export import load_exported
+
+    out = str(tmp_path / "detect_int8.stablehlo")
+    rc = main(["export", "--workdir", trained_workdir, "--out", out,
+               "--batch", "1", "--canvas", "96", "128", "--quantize"])
+    assert rc == 0
+    call, meta = load_exported(out)
+    assert meta["quantized"] is True
+    got = call(_scene()[None].astype(np.float32))
+    assert np.asarray(got["boxes"]).shape[-1] == 4
+    v = np.asarray(got["valid"])       # padded slots carry -inf scores
+    assert np.isfinite(np.asarray(got["scores"])[v]).all()

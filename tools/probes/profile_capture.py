@@ -55,6 +55,15 @@ def pipeline(p, x):
     return sum(v.astype(jnp.float32).sum() for v in out.values())
 
 
+# compile-bomb guard (BASELINE.md packed-dropout entry): compile a tiny
+# shape FIRST so a pathological full-shape compile is never the first
+# signal the remote compiler sees — and NEVER kill this process
+# mid-compile (a killed remote compile wedges the exclusive chip grant).
+tiny = jax.random.uniform(jax.random.key(2), (2, 96, 128, 3), jnp.bfloat16)
+float(pipeline(qparams, tiny))
+print("tiny-shape compile ok; full-shape compile next (do not kill)",
+      file=sys.stderr)
+
 float(pipeline(qparams, images))           # compile + warm
 logdir = "/tmp/densebox_profile"
 with jax.profiler.trace(logdir):

@@ -42,6 +42,22 @@ def one(state, b):
     return st, metrics["loss_total"]
 
 
+# compile-bomb guard (BASELINE.md packed-dropout entry): compile a tiny
+# 64px/B8 step FIRST so a pathological full-shape compile is never the
+# first signal the remote compiler sees — and NEVER kill this process
+# mid-compile (a killed remote compile wedges the exclusive chip grant).
+_tcfg = DenseBoxConfig(
+    model=cfg.model, label=LabelCfg(patch_size=64, std_height_px=50.0 * 64 / 240),
+    train=TrainCfg(batch_size=8))
+_tb = synthetic_batch(jax.random.key(1), 8, LabelCfg(patch_size=128,
+                                                     std_height_px=50.0 * 64 / 240),
+                      max_boxes=8)
+_tstate = create_train_state(model, _tcfg, _tb["image"][:1, :64, :64])
+_, _tm = jax.jit(make_canvas_train_step(model, _tcfg))(_tstate, _tb)
+float(_tm["loss_total"])
+print("tiny-shape compile ok; full-shape compile next (do not kill)",
+      file=sys.stderr)
+
 state, l0 = one(state, b)
 float(l0)
 logdir = "/tmp/densebox_train_profile"
