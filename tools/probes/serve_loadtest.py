@@ -1,12 +1,20 @@
-"""Serving-layer loadtest: N concurrent clients against DetectServer.
+"""Serving-layer loadtest: concurrent clients against DetectServer.
 
-Measures sustained requests/s and the coalescing ratio (requests per
-device call). Run with the TPU attached for production numbers; on CPU it
+Measures sustained requests/s, per-request latency percentiles (p50/p99),
+and the coalescing ratio (requests per device call) at each concurrency
+level. Run with the TPU attached for production numbers; on CPU it
 validates the batching machinery (the device call dominates either way).
 
-    python tools/probes/serve_loadtest.py [--clients 16] [--requests 96]
+    # CPU machinery check (tiny trained model):
+    python tools/probes/serve_loadtest.py --cpu
+
+    # TPU production numbers (headline turbo int8 config, 480x640 canvas):
+    python tools/probes/serve_loadtest.py --turbo-int8 --clients 1 4 16
+
+Emits one JSON line per concurrency level (BASELINE.md serving table).
 """
 import argparse
+import json
 import os
 import sys
 import tempfile
@@ -18,13 +26,19 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 ap = argparse.ArgumentParser()
-ap.add_argument("--clients", type=int, default=16)
-ap.add_argument("--requests", type=int, default=96)
+ap.add_argument("--clients", type=int, nargs="+", default=[16])
+ap.add_argument("--requests", type=int, default=96,
+                help="requests per concurrency level")
 ap.add_argument("--max-batch", type=int, default=8)
 ap.add_argument("--window-ms", type=float, default=5.0)
-ap.add_argument("--canvas", type=int, nargs=2, default=(96, 128))
+ap.add_argument("--canvas", type=int, nargs=2, default=None,
+                help="default: 96x128 (tiny) / 480x640 (--turbo-int8)")
 ap.add_argument("--cpu", action="store_true",
                 help="pin the CPU backend (the default on a wedged tunnel)")
+ap.add_argument("--turbo-int8", action="store_true",
+                help="serve the headline turbo int8 config (random-init "
+                     "weights — serving latency does not depend on them) "
+                     "instead of training a tiny model first")
 args = ap.parse_args()
 
 if args.cpu:
@@ -32,20 +46,93 @@ if args.cpu:
 
     jax.config.update("jax_platforms", "cpu")
 
-from densebox_tpu.cli import main as cli_main
-from densebox_tpu.models import DenseBox
+from densebox_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from densebox_tpu.serve import DetectServer
-from densebox_tpu.train.checkpoint import load_for_inference
+
+canvas = tuple(args.canvas or ((480, 640) if args.turbo_int8 else (96, 128)))
 
 
-def scene(seed):
+def scene(seed, hw):
     rng = np.random.RandomState(seed)
-    img = (rng.rand(96, 128, 3) * 40).astype(np.float32)
+    img = (rng.rand(*hw, 3) * 40).astype(np.float32)
     img[30:52, 40:62] = 230.0
     return img / 255.0
 
 
-with tempfile.TemporaryDirectory() as td:
+def run_level(make_server, n_clients):
+    server = make_server()
+    lats = []
+    issued = 0
+    lock = threading.Lock()
+
+    def client(cid):
+        nonlocal issued
+        img = scene(cid, canvas)
+        while True:
+            with lock:
+                if issued >= args.requests:
+                    return
+                issued += 1
+            t0 = time.perf_counter()
+            server.submit(img)
+            with lock:
+                lats.append(time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    stats = dict(server.stats)
+    server.close()
+    lats_ms = np.sort(np.asarray(lats)) * 1e3
+    ratio = stats["requests"] / max(stats["device_calls"], 1)
+    print(json.dumps({
+        "clients": n_clients, "requests": len(lats),
+        "req_per_s": round(len(lats) / dt, 1),
+        "p50_ms": round(float(np.percentile(lats_ms, 50)), 1),
+        "p99_ms": round(float(np.percentile(lats_ms, 99)), 1),
+        "coalescing_ratio": round(ratio, 2),
+        "device_calls": stats["device_calls"],
+        "max_batch": args.max_batch, "canvas": list(canvas),
+    }))
+
+
+def make_turbo_server():
+    import jax
+    import jax.numpy as jnp
+
+    from densebox_tpu.config import InferCfg, LabelCfg, ModelCfg
+    from densebox_tpu.models import DenseBox
+    from densebox_tpu.models.quant import QuantDenseBox, quantize_densebox
+
+    cfg = ModelCfg(width_mult=0.25, compute_dtype="bfloat16", stem="s2d4",
+                   trunk_depth=3)
+    model = DenseBox(cfg)
+    params = model.init(jax.random.key(1),
+                        jnp.zeros((1, 64, 64, 3), jnp.float32))
+    calib = jax.random.uniform(jax.random.key(0), (2, *canvas, 3),
+                               jnp.float32)
+    qparams = quantize_densebox(params, cfg, calib)
+    icfg = InferCfg(scales=(1.0,), score_thresh=0.5, topk_per_scale=256,
+                    max_dets=128, approx_topk=True)
+    return lambda: DetectServer(QuantDenseBox(cfg), qparams, icfg,
+                                LabelCfg(), canvas_hw=canvas,
+                                max_batch=args.max_batch,
+                                batch_window_ms=args.window_ms)
+
+
+def make_tiny_server(td):
+    from densebox_tpu.cli import main as cli_main
+    from densebox_tpu.models import DenseBox
+    from densebox_tpu.train.checkpoint import load_for_inference
+
     workdir = os.path.join(td, "run")
     rc = cli_main(["train", "--synthetic", "--workdir", workdir,
                    "--steps", "20", "--batch-size", "8",
@@ -54,35 +141,18 @@ with tempfile.TemporaryDirectory() as td:
                    "--ckpt-every", "10", "--log-every", "10"])
     assert rc == 0
     cfg, params = load_for_inference(os.path.join(workdir, "ckpt"))
-    server = DetectServer(DenseBox(cfg.model), params, cfg.infer, cfg.label,
-                          canvas_hw=tuple(args.canvas),
-                          max_batch=args.max_batch,
-                          batch_window_ms=args.window_ms)
+    return lambda: DetectServer(DenseBox(cfg.model), params, cfg.infer,
+                                cfg.label, canvas_hw=canvas,
+                                max_batch=args.max_batch,
+                                batch_window_ms=args.window_ms)
 
-    done = 0
-    lock = threading.Lock()
 
-    def client(cid):
-        global done
-        while True:
-            with lock:
-                if done >= args.requests:
-                    return
-                done += 1
-            server.submit(scene(cid))
-
-    t0 = time.perf_counter()
-    threads = [threading.Thread(target=client, args=(i,))
-               for i in range(args.clients)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    dt = time.perf_counter() - t0
-    server.close()
-    rps = args.requests / dt
-    ratio = server.stats["requests"] / max(server.stats["device_calls"], 1)
-    print(f"{rps:.1f} req/s over {args.clients} clients "
-          f"({server.stats['requests']} requests / "
-          f"{server.stats['device_calls']} device calls = "
-          f"{ratio:.2f} coalescing ratio, max_batch {args.max_batch})")
+if args.turbo_int8:
+    factory = make_turbo_server()
+    for n in args.clients:
+        run_level(factory, n)
+else:
+    with tempfile.TemporaryDirectory() as td:
+        factory = make_tiny_server(td)
+        for n in args.clients:
+            run_level(factory, n)
