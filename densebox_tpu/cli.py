@@ -354,29 +354,41 @@ def cmd_serve(args) -> int:
     from densebox_tpu.serve import (DetectServer, make_http_server,
                                     serve_forever)
 
-    try:
-        cfg, model, params, quantized = _load_bundle(args.workdir)
-    except FileNotFoundError as e:
-        print(f"error: {e} — train first or point --workdir at a training "
-              f"run", file=sys.stderr)
-        return 2
-    cfg = _maybe_override_label(cfg, args)
-    if args.quantize and not quantized:
-        if args.calib_dir:
-            calib, src = _calib_dir_images(args.calib_dir), \
-                f"--calib-dir {args.calib_dir}"
-        else:
-            calib = src = None      # hermetic synthetic fallback
-        model, params = _quantize(params, cfg, calib, src)
-    icfg = _merged_infer_cfg(cfg.infer, args)
-    server = DetectServer(model, params, icfg, cfg.label,
-                          canvas_hw=tuple(args.canvas),
-                          max_batch=args.max_batch,
-                          batch_window_ms=args.batch_window_ms)
-    info = {"canvas": list(args.canvas), "max_batch": args.max_batch,
-            "quantized": bool(args.quantize or quantized),
-            "landmarks": cfg.model.num_landmarks,
-            "scales": list(icfg.scales)}
+    if args.artifact:
+        # serve a `cli export` StableHLO artifact directly: no checkpoint,
+        # no model rebuild — the artifact IS the program
+        server = DetectServer.from_exported(
+            args.artifact, batch_window_ms=args.batch_window_ms)
+        info = {"artifact": args.artifact, **server.meta,
+                "max_batch": server.max_batch}
+    else:
+        if not args.workdir:
+            print("error: one of --workdir / --artifact is required",
+                  file=sys.stderr)
+            return 2
+        try:
+            cfg, model, params, quantized = _load_bundle(args.workdir)
+        except FileNotFoundError as e:
+            print(f"error: {e} — train first or point --workdir at a "
+                  f"training run", file=sys.stderr)
+            return 2
+        cfg = _maybe_override_label(cfg, args)
+        if args.quantize and not quantized:
+            if args.calib_dir:
+                calib, src = _calib_dir_images(args.calib_dir), \
+                    f"--calib-dir {args.calib_dir}"
+            else:
+                calib = src = None      # hermetic synthetic fallback
+            model, params = _quantize(params, cfg, calib, src)
+        icfg = _merged_infer_cfg(cfg.infer, args)
+        server = DetectServer(model, params, icfg, cfg.label,
+                              canvas_hw=tuple(args.canvas),
+                              max_batch=args.max_batch,
+                              batch_window_ms=args.batch_window_ms)
+        info = {"canvas": list(args.canvas), "max_batch": args.max_batch,
+                "quantized": bool(args.quantize or quantized),
+                "landmarks": cfg.model.num_landmarks,
+                "scales": list(icfg.scales)}
     httpd = make_http_server(server, args.host, args.port, info)
     print(f"serving on http://{httpd.server_address[0]}:"
           f"{httpd.server_address[1]}  (POST /detect, GET /healthz)",
@@ -772,7 +784,12 @@ def main(argv=None) -> int:
 
     s = sub.add_parser("serve", help="batched HTTP inference server "
                                      "(POST /detect, GET /healthz)")
-    s.add_argument("--workdir", required=True)
+    s.add_argument("--workdir", default=None,
+                   help="training run (or int8 checkpoint export) to serve")
+    s.add_argument("--artifact", default=None,
+                   help="serve a `densebox export` StableHLO artifact "
+                        "directly (no checkpoint / model rebuild; its "
+                        "baked batch+canvas win over --max-batch/--canvas)")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8471)
     s.add_argument("--canvas", type=int, nargs=2, default=(480, 640),

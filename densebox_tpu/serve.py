@@ -45,27 +45,53 @@ class DetectServer:
                  canvas_hw: Tuple[int, int] = (480, 640),
                  max_batch: int = 8, batch_window_ms: float = 5.0,
                  warmup: bool = True):
-        import jax.numpy as jnp
-
         from densebox_tpu.infer import make_detect_fn
+
+        detect = make_detect_fn(model, infer_cfg, label_cfg)
+        self._init(lambda x: detect(params, x), canvas_hw, max_batch,
+                   batch_window_ms, warmup)
+
+    @classmethod
+    def from_exported(cls, path: str, max_batch: Optional[int] = None,
+                      batch_window_ms: float = 5.0, warmup: bool = True
+                      ) -> "DetectServer":
+        """Serve a ``cli export`` StableHLO artifact directly — the serving
+        process needs jax only, not the model code or the checkpoint. The
+        artifact's fixed (batch, H, W) contract becomes the serving
+        (max_batch, canvas); ``max_batch`` may only restate it."""
+        from densebox_tpu.export import load_exported
+
+        call, meta = load_exported(path)
+        if max_batch is not None and max_batch != meta["batch"]:
+            raise ValueError(
+                f"artifact was exported with batch {meta['batch']}; "
+                f"max_batch {max_batch} cannot differ (fixed StableHLO "
+                "shapes) — re-export with --batch")
+        self = cls.__new__(cls)
+        self._init(call, tuple(meta["canvas"]), meta["batch"],
+                   batch_window_ms, warmup)
+        self.meta = meta
+        return self
+
+    def _init(self, detect_fn, canvas_hw, max_batch, batch_window_ms,
+              warmup) -> None:
+        import jax.numpy as jnp
 
         self._jnp = jnp
         self.canvas_hw = canvas_hw
         self.max_batch = max_batch
         self.window_s = batch_window_ms / 1e3
-        self.params = params
         # observability: device_calls vs requests shows the coalescing
         # ratio (healthz reports it; the loadtest probe asserts on it)
         self.stats = {"requests": 0, "device_calls": 0}
-        self.detect = make_detect_fn(model, infer_cfg, label_cfg)
+        self._detect = detect_fn
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
         if warmup:
             hc, wc = canvas_hw
-            self.detect(params, jnp.zeros((max_batch, hc, wc, 3),
-                                          jnp.float32))
+            self._detect(jnp.zeros((max_batch, hc, wc, 3), jnp.float32))
 
     # -- request path ------------------------------------------------------
 
@@ -153,7 +179,7 @@ class DetectServer:
                     x[i] = canvas
                 self.stats["requests"] += len(batch)
                 self.stats["device_calls"] += 1
-                out = self.detect(self.params, self._jnp.asarray(x))
+                out = self._detect(self._jnp.asarray(x))
                 out = {k: np.asarray(v) for k, v in out.items()}
                 for i, (_, f, done, slot) in enumerate(batch):
                     v = out["valid"][i]

@@ -112,3 +112,53 @@ def test_export_quantized(trained_workdir, tmp_path):
     assert np.asarray(got["boxes"]).shape[-1] == 4
     v = np.asarray(got["valid"])       # padded slots carry -inf scores
     assert np.isfinite(np.asarray(got["scores"])[v]).all()
+
+
+def test_serve_from_artifact(trained_workdir, tmp_path):
+    """`cli serve --artifact` serves an exported program: HTTP detections
+    match the live pipeline's, and healthz reports the artifact contract."""
+    import threading
+    import urllib.request
+
+    import cv2
+
+    from densebox_tpu.cli import main
+    from densebox_tpu.serve import DetectServer, make_http_server, \
+        serve_forever
+
+    out = str(tmp_path / "detect.stablehlo")
+    rc = main(["export", "--workdir", trained_workdir, "--out", out,
+               "--batch", "2", "--canvas", "96", "128", "--no-verify"])
+    assert rc == 0
+
+    server = DetectServer.from_exported(out, batch_window_ms=1.0)
+    httpd = make_http_server(server, "127.0.0.1", 0,
+                             info={"artifact": out, **server.meta})
+    port = httpd.server_address[1]
+    stop = threading.Event()
+    t = threading.Thread(target=serve_forever, args=(httpd, stop, 0.05),
+                         daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            health = json.load(r)
+        assert health["canvas"] == [96, 128] and health["batch"] == 2
+
+        img_u8 = (np.clip(_scene(), 0, 1) * 255).astype(np.uint8)
+        ok, buf = cv2.imencode(".png",
+                               cv2.cvtColor(img_u8, cv2.COLOR_RGB2BGR))
+        assert ok
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/detect", data=buf.tobytes(),
+            headers={"Content-Type": "application/octet-stream"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            resp = json.load(r)
+        assert resp["n"] == len(resp["boxes"]) == len(resp["scores"])
+    finally:
+        stop.set()
+        t.join(10)
+        server.close()
+
+    with pytest.raises(ValueError, match="re-export"):
+        DetectServer.from_exported(out, max_batch=16, warmup=False)
