@@ -162,3 +162,20 @@ def test_serve_from_artifact(trained_workdir, tmp_path):
 
     with pytest.raises(ValueError, match="re-export"):
         DetectServer.from_exported(out, max_batch=16, warmup=False)
+
+
+def test_export_multi_platform(trained_workdir, tmp_path):
+    """--platforms cpu,tpu lowers one module with platform dispatch; it
+    must still load and run on the CPU host."""
+    from densebox_tpu.cli import main
+    from densebox_tpu.export import load_exported
+
+    out = str(tmp_path / "multi.stablehlo")
+    rc = main(["export", "--workdir", trained_workdir, "--out", out,
+               "--batch", "1", "--canvas", "96", "128",
+               "--platforms", "cpu,tpu", "--no-verify"])
+    assert rc == 0
+    call, meta = load_exported(out)
+    assert set(meta["platforms"]) == {"cpu", "tpu"}
+    got = call(np.zeros((1, 96, 128, 3), np.float32))
+    assert np.asarray(got["boxes"]).shape == (1, 128, 4)
