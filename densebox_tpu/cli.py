@@ -281,6 +281,69 @@ def cmd_export(args) -> int:
     return 0
 
 
+def _detect_video(args, cfg, detect, params) -> int:
+    """Frame-batched video detection: decode -> fixed-shape batches onto
+    ONE compiled program -> annotated video out. The reference stops at
+    qualitative result images; this is the moving-picture equivalent."""
+    import cv2
+    import jax.numpy as jnp
+    import numpy as np
+
+    from densebox_tpu.utils.viz import draw_detections
+
+    cap = cv2.VideoCapture(args.video)
+    if not cap.isOpened():
+        print(f"error: cannot open video {args.video}", file=sys.stderr)
+        return 2
+    fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    stem = os.path.splitext(os.path.basename(args.video))[0]
+    out_path = os.path.join(args.out, stem + "_dets.avi")
+    m = cfg.model.min_divisor
+    bs = args.video_batch
+    writer = None
+    n_frames = total_dets = 0
+
+    def flush(frames):
+        nonlocal writer, n_frames, total_dets
+        if not frames:
+            return
+        h, w = frames[0].shape[:2]
+        # one compiled program: fixed (bs, padded H, padded W); short final
+        # batches pad with zero frames whose results are dropped
+        x = np.zeros((bs, h + (-h % m), w + (-w % m), 3), np.float32)
+        for i, f in enumerate(frames):
+            x[i, :h, :w] = f / 255.0
+        out = detect(params, jnp.asarray(x))
+        dets = {k: np.asarray(v) for k, v in out.items()}
+        for i, f in enumerate(frames):
+            vis = draw_detections(f, dets, batch_index=i)
+            if writer is None:
+                writer = cv2.VideoWriter(
+                    out_path, cv2.VideoWriter_fourcc(*"MJPG"), fps, (w, h))
+            writer.write(cv2.cvtColor(vis, cv2.COLOR_RGB2BGR))
+            total_dets += int(dets["valid"][i].sum())
+            n_frames += 1
+
+    frames = []
+    while True:
+        ok, bgr = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+        if len(frames) == bs:
+            flush(frames)
+            frames = []
+    flush(frames)
+    cap.release()
+    if writer is None:
+        print(f"error: {args.video} contained no frames", file=sys.stderr)
+        return 2
+    writer.release()
+    print(f"{args.video}: {n_frames} frames, {total_dets} detections "
+          f"-> {out_path}")
+    return 0
+
+
 def cmd_detect(args) -> int:
     import cv2
     import jax.numpy as jnp
@@ -290,6 +353,9 @@ def cmd_detect(args) -> int:
     from densebox_tpu.models import DenseBox
     from densebox_tpu.utils.viz import draw_detections, save_image
 
+    if not args.image and not args.video:
+        print("error: one of --image / --video is required", file=sys.stderr)
+        return 2
     try:
         cfg, model, params, quantized = _load_bundle(args.workdir)
     except FileNotFoundError as e:
@@ -311,13 +377,17 @@ def cmd_detect(args) -> int:
         if args.calib_dir:
             calib, src = _calib_dir_images(args.calib_dir), \
                 f"--calib-dir {args.calib_dir}"
-        else:
+        elif args.image:
             calib, src = _load_calib_images(args.image), "the input images"
+        else:
+            calib = src = None      # video input: hermetic fallback
         model, params = _quantize(params, cfg, calib, src)
     icfg = _merged_infer_cfg(cfg.infer, args)
     detect = make_detect_fn(model, icfg, cfg.label)
 
     os.makedirs(args.out, exist_ok=True)
+    if args.video:
+        return _detect_video(args, cfg, detect, params)
     for path in args.image:
         img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
         h, w = img.shape[:2]
@@ -719,9 +789,14 @@ def main(argv=None) -> int:
     _add_infer_flags(t)
     t.set_defaults(fn=cmd_train)
 
-    d = sub.add_parser("detect", help="run detection on images")
+    d = sub.add_parser("detect", help="run detection on images or video")
     d.add_argument("--workdir", required=True)
-    d.add_argument("--image", nargs="+", required=True)
+    d.add_argument("--image", nargs="+", default=None)
+    d.add_argument("--video", default=None,
+                   help="video file: frames run in fixed-shape batches on "
+                        "one compiled program; writes an annotated video")
+    d.add_argument("--video-batch", type=int, default=8,
+                   help="frames per device batch for --video")
     d.add_argument("--out", default="detections")
     d.add_argument("--save-kitti", default=None, metavar="DIR",
                    help="also write per-image KITTI result txts (the "

@@ -384,3 +384,47 @@ def test_cli_quantize_calibrates_on_input_images(tmp_path, capsys):
                "--batch-size", "2", "--eval-batches", "1"])
     assert rc == 0
     assert "hermetic fallback" in capsys.readouterr().err
+
+
+@pytest.mark.slow
+def test_cli_detect_video(tmp_path):
+    """`detect --video`: frames run in fixed-shape batches on one compiled
+    program; an annotated video with the input's frame count comes out."""
+    import cv2
+    import numpy as np
+
+    from densebox_tpu.cli import main
+
+    workdir = str(tmp_path / "vrun")
+    rc = main(["train", "--synthetic", "--workdir", workdir,
+               "--steps", "30", "--batch-size", "8", "--width-mult", "0.125",
+               "--patch-size", "64", "--std-height", "20", "--max-boxes", "3",
+               "--lr", "3e-3", "--ckpt-every", "15", "--log-every", "10"])
+    assert rc == 0
+
+    vid = str(tmp_path / "in.avi")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"MJPG"), 10.0,
+                        (128, 96))
+    rng = np.random.RandomState(0)
+    for t in range(10):                       # 10 frames, moving rectangle
+        f = (rng.rand(96, 128, 3) * 40).astype(np.uint8)
+        x = 20 + 6 * t
+        f[30:52, x:x + 22] = 230
+        w.write(f)
+    w.release()
+
+    out = str(tmp_path / "dets")
+    rc = main(["detect", "--workdir", workdir, "--video", vid,
+               "--video-batch", "4", "--out", out])
+    assert rc == 0
+    out_vid = os.path.join(out, "in_dets.avi")
+    assert os.path.exists(out_vid)
+    cap = cv2.VideoCapture(out_vid)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 10
+
+    rc = main(["detect", "--workdir", workdir])
+    assert rc == 2                            # neither --image nor --video
