@@ -225,6 +225,10 @@ def main() -> None:
                     help="int8 conv backend: xla (lax convs) | pallas "
                          "(fused conv+requant kernel) | hybrid (XLA convs "
                          "+ requant-only Pallas epilogue)")
+    ap.add_argument("--lm-window-dp", type=int, default=0,
+                    help="pallas window-gather detections per grid step "
+                         "(in-flight-DMA depth; 0 = kernel default 8; A/B "
+                         "knob for the DMA-issue-bound landmark kernel)")
     ap.add_argument("--refine-width", type=int, default=None,
                     help="refine-branch conv width override (A/B knob for "
                          "the landmark pipeline; default ModelCfg 64)")
@@ -312,7 +316,8 @@ def main() -> None:
     icfg = InferCfg(scales=tuple(float(s) for s in args.scales.split(",")),
                     score_thresh=0.5, topk_per_scale=256, max_dets=128,
                     approx_topk=True,  # production throughput path opts in
-                    lm_dtype=args.lm_dtype)
+                    lm_dtype=args.lm_dtype,
+                    lm_window_dp=args.lm_window_dp)
     lcfg = LabelCfg()
 
     if args.mode == "train":

@@ -188,6 +188,12 @@ class InferCfg:
                                     # heatmap VALUES quantize (~3 decimal
                                     # digits — beneath detection-heat
                                     # contrast).
+    lm_window_dp: int = 0           # pallas window gather: detections per
+                                    # grid step (in-flight-DMA depth; the
+                                    # kernel is DMA-issue-rate-bound at
+                                    # production shapes). 0 = kernel
+                                    # default (8); A/B knob, must divide
+                                    # lm_topk
     lm_backend: str = "auto"        # landmark window gather: 'pallas' (the
                                     # scalar-prefetch DMA kernel — the
                                     # measured TPU policy, see BASELINE.md

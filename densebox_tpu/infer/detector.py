@@ -199,6 +199,7 @@ def decode_landmarks_selected(
     anchors=None,            # optional (L, 2) box-relative expected positions
     anchor_radius: float = 0.25,
     backend: str = "auto",   # window gather: 'jax' | 'pallas' | 'auto'
+    window_dp: int = 0,      # pallas in-flight-DMA depth; 0 = kernel default
 ):
     """Batched landmark decode reading each detection's SELECTED scale only.
 
@@ -271,7 +272,8 @@ def decode_landmarks_selected(
     y0 = jnp.clip(jnp.floor(ey * sy / stride).astype(jnp.int32) - win // 2,
                   0, (h_sel - win).astype(jnp.int32))
 
-    patches = gather_windows(stacked, sel, y0, x0, win, backend=backend)
+    patches = gather_windows(stacked, sel, y0, x0, win, backend=backend,
+                             dp=window_dp)
 
     # original-image coords of each window's pixels (same expressions as
     # decode_landmarks so both paths agree numerically)
@@ -496,7 +498,8 @@ def detect_batch(
             lm_maps, sel[:, :kd], boxes[:, :kd], valid[:, :kd],
             stride=stride, anchors=anchors,
             anchor_radius=label_cfg.lm_anchor_radius,
-            backend=infer_cfg.lm_backend)
+            backend=infer_cfg.lm_backend,
+            window_dp=infer_cfg.lm_window_dp)
         pad = boxes.shape[1] - kd
         if pad:
             pts = jnp.concatenate(

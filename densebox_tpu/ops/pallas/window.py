@@ -123,6 +123,7 @@ def gather_windows_pallas(
     x0: jnp.ndarray,     # same shape as y0
     win: int,
     *,
+    dp: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:        # (B, D, L, win, win), maps.dtype
     if interpret is None:
@@ -162,8 +163,15 @@ def gather_windows_pallas(
               | (y0.astype(jnp.int32) << 14)
               | x0.astype(jnp.int32)).reshape(b, -1)
 
-    # detections per grid step: amortize per-step pipeline overhead
-    dp = next(c for c in (8, 4, 2, 1) if d % c == 0)
+    # detections per grid step: amortize per-step pipeline overhead. The
+    # kernel is DMA-issue-rate-bound at production shapes, so dp is the
+    # in-flight-copy depth knob; default 8 is the round-3 shipped value,
+    # override (e.g. 16) via the dp arg for A/Bs. VMEM scratch is
+    # dp*L*STRIP_H*STRIP_W*4B — dp 16, L 4 is ~2.6 MB, well inside VMEM.
+    if dp is None:
+        dp = next(c for c in (8, 4, 2, 1) if d % c == 0)
+    elif d % dp:
+        raise ValueError(f"dp {dp} must divide the detection count {d}")
 
     def call(maps_c, packed_c):
         bc = maps_c.shape[0]

@@ -42,17 +42,20 @@ def gather_windows_jax(maps, sel, y0, x0, win: int) -> jnp.ndarray:
 
 
 def gather_windows(maps, sel, y0, x0, win: int,
-                   backend: str = "auto") -> jnp.ndarray:
+                   backend: str = "auto", dp: int = 0) -> jnp.ndarray:
     """(B, S, L, Hm, Wm) maps + (B, D) sel + (B, D, L) origins
     -> (B, D, L, win, win) windows from each detection's selected scale.
 
     Origins must already be clipped to [0, dim_s - win] of the selected
     scale. backend: 'jax' | 'pallas' | 'auto' (= pallas: the kernel IS the
-    measured policy on TPU, and interpret-mode pallas elsewhere is fine)."""
+    measured policy on TPU, and interpret-mode pallas elsewhere is fine).
+    dp (pallas only): detections per grid step — the in-flight-DMA depth
+    knob; 0 = kernel default."""
     if backend == "auto":
         backend = "pallas"
     if backend == "pallas":
         from densebox_tpu.ops.pallas.window import gather_windows_pallas
 
-        return gather_windows_pallas(maps, sel, y0, x0, win)
+        return gather_windows_pallas(maps, sel, y0, x0, win,
+                                     dp=dp or None)
     return gather_windows_jax(maps, sel, y0, x0, win)

@@ -243,3 +243,23 @@ def test_oversized_window_raises():
     y0 = jnp.zeros((1, 2, 2), jnp.int32)
     with pytest.raises(ValueError, match="strip geometry"):
         gather_windows_pallas(maps, sel, y0, y0, win=36)
+
+
+def test_gather_windows_dp_override_exact():
+    """The dp (in-flight-DMA depth) override is a pure scheduling knob —
+    outputs identical to the jax twin at dp 16 and 4, and a non-dividing
+    dp fails loudly."""
+    import pytest
+
+    rng = np.random.RandomState(3)
+    b, s, num_lm, hm, wm, d, win = 2, 2, 3, 48, 40, 32, 16
+    maps = jnp.asarray(rng.rand(b, s, num_lm, hm, wm).astype(np.float32))
+    sel = jnp.asarray(rng.randint(0, s, (b, d)), jnp.int32)
+    y0 = jnp.asarray(rng.randint(0, hm - win, (b, d, num_lm)), jnp.int32)
+    x0 = jnp.asarray(rng.randint(0, wm - win, (b, d, num_lm)), jnp.int32)
+    ref = gather_windows_jax(maps, sel, y0, x0, win)
+    for dp in (16, 4):
+        out = gather_windows_pallas(maps, sel, y0, x0, win, dp=dp)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    with pytest.raises(ValueError, match="must divide"):
+        gather_windows_pallas(maps, sel, y0, x0, win, dp=5)
