@@ -195,6 +195,11 @@ def main() -> None:
                     choices=["auto", "on", "off"],
                     help="rematerialize the train forward in the backward "
                          "(A/B knob; measured policy in BASELINE.md)")
+    ap.add_argument("--dropout-impl", default="auto",
+                    choices=["auto", "flax", "packed", "fused"],
+                    help="head dropout backend for --mode train: 'fused' is "
+                         "the zero-mask-residual relu+dropout custom VJP "
+                         "(A/B knob; measured policy in BASELINE.md)")
     ap.add_argument("--skip-fusion", default="auto",
                     choices=["auto", "concat", "split"],
                     help="head conv1 over the skip concat vs two "
@@ -311,6 +316,7 @@ def main() -> None:
                    stem=args.stem or preset["stem"],
                    trunk_depth=args.trunk_depth or preset["depth"],
                    skip_fusion=args.skip_fusion,
+                   dropout_impl=args.dropout_impl,
                    refine_width=refine_width)
     model = DenseBox(cfg)
     icfg = InferCfg(scales=tuple(float(s) for s in args.scales.split(",")),

@@ -51,7 +51,12 @@ class ModelCfg:
     # materialize (identical parameters; f32 sum order differs). 'auto'
     # = the measured policy (BASELINE.md round-3 train ladder).
     dropout_rate: float = 0.5       # dropout between head convs (paper §3.2)
-    dropout_impl: str = "auto"      # 'flax' | 'packed' | 'auto'. 'packed'
+    dropout_impl: str = "auto"      # 'flax' | 'packed' | 'fused' | 'auto'.
+    # 'fused' fuses relu+dropout under a custom VJP whose backward derives
+    # the combined mask from the OUTPUT (`g * (y > 0) / keep_prob`) — zero
+    # mask residuals, so the two ~118M-element head keep masks are never
+    # stored or re-read in backward (forward mask draw is bit-identical
+    # to flax for the same key). 'packed'
     # derives 4 mask bytes per generated u32 word instead of one mask per
     # word (flax bernoulli), quartering the generator bytes of the two
     # ~118M-element head masks; keep probability quantizes to 1/256

@@ -24,6 +24,7 @@ TPU-first choices (not in the reference):
 
 from __future__ import annotations
 
+import functools
 from typing import Dict
 
 import jax
@@ -176,7 +177,40 @@ class _PackedDropout(nn.Module):
         return jnp.where(keep, x / keep_prob, jnp.zeros((), x.dtype))
 
 
-def _dropout(cfg: ModelCfg) -> nn.Module:
+@functools.lru_cache(maxsize=None)
+def fused_relu_dropout(rate: float):
+    """relu+dropout fused so backward needs NO saved mask.
+
+    Forward draws the same bernoulli mask flax's ``nn.Dropout`` would for
+    the same key (bit-identical semantics):
+    ``y = where(keep, relu(x)/keep_prob, 0)``. The custom VJP exploits
+    ``y > 0  <=>  kept AND x > 0`` (up to the measure-zero x == 0, where
+    the relu subgradient is ambiguous anyway): ``dx = g * (y > 0) /
+    keep_prob``. Its only residual is y itself — which the following
+    conv's weight-grad already keeps — so the ~118M-element bool keep
+    masks of the two production head dropouts (round-3 train profile,
+    BASELINE.md) are never stored or re-read in backward."""
+    keep_prob = 1.0 - rate
+
+    @jax.custom_vjp
+    def f(x, key):
+        keep = jax.random.bernoulli(key, keep_prob, x.shape)
+        return jnp.where(keep, jnp.maximum(x, 0) / keep_prob,
+                         jnp.zeros((), x.dtype))
+
+    def fwd(x, key):
+        y = f(x, key)
+        return y, y
+
+    def bwd(y, g):
+        return (jnp.where(y > 0, g / keep_prob,
+                          jnp.zeros((), g.dtype)), None)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def resolved_dropout_impl(cfg: ModelCfg) -> str:
     impl = cfg.dropout_impl
     if impl == "auto":
         # measured policy (round 3, BASELINE.md): 'flax'. The packed mask
@@ -185,7 +219,14 @@ def _dropout(cfg: ModelCfg) -> nn.Module:
         # train step) on two formulations — a compile bomb disqualifies a
         # default regardless of steady-state wins. Kept as a wired,
         # unit-tested backend for runtimes with a local compiler.
+        # 'fused' (relu+dropout custom-VJP, zero mask residuals) is the
+        # round-4 A/B candidate — pending a measured number.
         impl = "flax"
+    return impl
+
+
+def _dropout(cfg: ModelCfg) -> nn.Module:
+    impl = resolved_dropout_impl(cfg)
     if impl == "packed":
         return _PackedDropout(cfg.dropout_rate)
     return nn.Dropout(cfg.dropout_rate)
@@ -246,8 +287,13 @@ class _Head(nn.Module):
                         param_dtype=pdtype, precision=prec,
                         kernel_init=nn.initializers.he_normal(),
                         name=f"{self.name_prefix}_conv1")(x)
-        x = nn.relu(x)
-        x = _dropout(self.cfg)(x, deterministic=not train)
+        rate = self.cfg.dropout_rate
+        if (train and rate > 0.0
+                and resolved_dropout_impl(self.cfg) == "fused"):
+            x = fused_relu_dropout(rate)(x, self.make_rng("dropout"))
+        else:
+            x = nn.relu(x)
+            x = _dropout(self.cfg)(x, deterministic=not train)
         x = nn.Conv(self.out_channels, (1, 1), dtype=dtype, param_dtype=pdtype,
                     precision=prec, kernel_init=nn.initializers.he_normal(),
                     name=f"{self.name_prefix}_conv2")(x)

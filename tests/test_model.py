@@ -245,3 +245,56 @@ def test_split_skip_fusion_matches_concat():
     for k in out_c:
         np.testing.assert_allclose(np.asarray(out_s[k]), np.asarray(out_c[k]),
                                    rtol=0, atol=1e-5, err_msg=k)
+
+
+def test_fused_relu_dropout_exact_vs_unfused():
+    """fused_relu_dropout: forward bit-identical to relu -> flax-style
+    dropout for the same key; custom-VJP gradient equals the unfused
+    autodiff gradient (the output-derived mask differs only on the
+    measure-zero x == 0 set)."""
+    from densebox_tpu.models.densebox import fused_relu_dropout
+
+    rate = 0.5
+    x = jax.random.normal(jax.random.key(0), (4, 12, 12, 16))
+    key = jax.random.key(1)
+    f = fused_relu_dropout(rate)
+
+    def unfused(x):
+        keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+        return jnp.where(keep, jnp.maximum(x, 0) / (1.0 - rate),
+                         jnp.zeros((), x.dtype))
+
+    y = jax.jit(f)(x, key)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(unfused(x)))
+
+    g = jax.jit(jax.grad(lambda x: (f(x, key) ** 2).sum()))(x)
+    g_ref = jax.grad(lambda x: (unfused(x) ** 2).sum())(x)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(g_ref))
+
+
+def test_fused_dropout_model_forward_and_grad():
+    """A model with dropout_impl='fused' trains: stochastic across keys,
+    identity at eval, finite grads — same contract as the packed test."""
+    cfg = ModelCfg(width_mult=0.125, dropout_impl="fused")
+    model, params, x = _init(cfg, 48, 48)
+
+    out_a = model.apply(params, x, train=True,
+                        rngs={"dropout": jax.random.key(2)})
+    out_b = model.apply(params, x, train=True,
+                        rngs={"dropout": jax.random.key(3)})
+    assert float(jnp.abs(out_a["score"] - out_b["score"]).max()) > 0
+
+    # eval mode needs no dropout rng and matches the flax-impl eval path
+    cfg_f = ModelCfg(width_mult=0.125, dropout_impl="flax")
+    out_e = model.apply(params, x, train=False)
+    out_e2 = DenseBox(cfg_f).apply(params, x, train=False)
+    np.testing.assert_array_equal(np.asarray(out_e["score"]),
+                                  np.asarray(out_e2["score"]))
+
+    def loss(p):
+        out = model.apply(p, x, train=True,
+                          rngs={"dropout": jax.random.key(4)})
+        return (out["score"] ** 2).mean() + (out["loc"] ** 2).mean()
+
+    g = jax.grad(loss)(params)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree.leaves(g))
