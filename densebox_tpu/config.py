@@ -49,7 +49,8 @@ class ModelCfg:
     # the upsampled f4 instead of one conv over their concat — the
     # (B, H/4, W/4, 384) concat tensor and its relayout copy never
     # materialize (identical parameters; f32 sum order differs). 'auto'
-    # = the measured policy (BASELINE.md round-3 train ladder).
+    # = 'split', the measured policy (round-4 train ladder, BASELINE.md:
+    # 21.84 vs 20.86 steps/s).
     dropout_rate: float = 0.5       # dropout between head convs (paper §3.2)
     dropout_impl: str = "auto"      # 'flax' | 'packed' | 'fused' | 'auto'.
     # 'fused' fuses relu+dropout under a custom VJP whose backward derives

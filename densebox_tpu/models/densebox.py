@@ -348,8 +348,12 @@ class DenseBox(nn.Module):
 
         sf = cfg.skip_fusion
         if sf == "auto":
-            # measured policy (round-3 train ladder, BASELINE.md): pending
-            sf = "concat"
+            # measured policy (round-4 train ladder, BASELINE.md): 'split'
+            # — 21.84 vs 20.86 steps/s (+4.7%) on fast w0.5/B128/240px; it
+            # removes the concat tensor + its 2.3 ms/step relayout copy
+            # named by the round-3 train profile. Outputs agree with
+            # 'concat' to f32-sum-order noise (equality test).
+            sf = "split"
         up = upsample2x_align_corners(f4)
         # 'split' hands each head the (f3, up) pair; _SplitConv1x1 folds the
         # concat into its sliced-weight matmuls so the (B, H/4, W/4, 384)
