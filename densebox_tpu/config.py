@@ -198,8 +198,9 @@ class InferCfg:
                                     # grid step (in-flight-DMA depth; the
                                     # kernel is DMA-issue-rate-bound at
                                     # production shapes). 0 = kernel
-                                    # default (8); A/B knob, must divide
-                                    # lm_topk
+                                    # default (16, measured round-4 —
+                                    # ops/pallas/window.py); A/B knob,
+                                    # must divide lm_topk
     lm_backend: str = "auto"        # landmark window gather: 'pallas' (the
                                     # scalar-prefetch DMA kernel — the
                                     # measured TPU policy, see BASELINE.md

@@ -213,15 +213,15 @@ def fused_relu_dropout(rate: float):
 def resolved_dropout_impl(cfg: ModelCfg) -> str:
     impl = cfg.dropout_impl
     if impl == "auto":
-        # measured policy (round 3, BASELINE.md): 'flax'. The packed mask
-        # quarters RNG bytes, but its byte-unpack HLO sent the remote TPU
-        # compiler into a >20-minute compile (vs ~2 min for the whole
-        # train step) on two formulations — a compile bomb disqualifies a
-        # default regardless of steady-state wins. Kept as a wired,
-        # unit-tested backend for runtimes with a local compiler.
-        # 'fused' (relu+dropout custom-VJP, zero mask residuals) is the
-        # round-4 A/B candidate — pending a measured number.
-        impl = "flax"
+        # measured policy (round-4 A/B, BASELINE.md): 'fused' — 22.48 vs
+        # 21.84 steps/s (+2.9%) on fast w0.5/B128 train. The relu+dropout
+        # custom VJP saves zero mask residuals (backward derives the
+        # combined mask from the already-saved output: y>0 iff kept and
+        # positive), cutting the ~118M-element bool mask save/load per
+        # head per step. 'packed' remains disqualified as a default by
+        # its remote-compile bomb (round 3); 'flax' kept as the reference
+        # backend, both wired + equality-tested.
+        impl = "fused"
     return impl
 
 

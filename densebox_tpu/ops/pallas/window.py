@@ -165,11 +165,14 @@ def gather_windows_pallas(
 
     # detections per grid step: amortize per-step pipeline overhead. The
     # kernel is DMA-issue-rate-bound at production shapes, so dp is the
-    # in-flight-copy depth knob; default 8 is the round-3 shipped value,
-    # override (e.g. 16) via the dp arg for A/Bs. VMEM scratch is
-    # dp*L*STRIP_H*STRIP_W*4B — dp 16, L 4 is ~2.6 MB, well inside VMEM.
+    # in-flight-copy depth knob. Measured policy (round-4 A/B,
+    # BASELINE.md): 16 — 4,213 vs 4,123 img/s (+2.2%) on turbo lm4 with
+    # bf16 maps (dp 16 alone over f32 was +1.5%/noise; the halved DMA
+    # bytes are what let the deeper queue pay). Override via the dp arg.
+    # VMEM scratch is dp*L*STRIP_H*STRIP_W*4B — dp 16, L 4 is ~2.6 MB
+    # even in f32, well inside VMEM.
     if dp is None:
-        dp = next(c for c in (8, 4, 2, 1) if d % c == 0)
+        dp = next(c for c in (16, 8, 4, 2, 1) if d % c == 0)
     elif d % dp:
         raise ValueError(f"dp {dp} must divide the detection count {d}")
 
