@@ -44,6 +44,8 @@ def _merged_infer_cfg(base, args) -> "InferCfg":
         over["lm_backend"] = args.lm_backend
     if getattr(args, "lm_topk", None) is not None:
         over["lm_topk"] = args.lm_topk
+    if getattr(args, "lm_dtype", None) is not None:
+        over["lm_dtype"] = args.lm_dtype
     return dataclasses.replace(base, **over)
 
 
@@ -72,7 +74,9 @@ def _build_cfg(args) -> "DenseBoxConfig":
                        width_mult=args.width_mult,
                        stem=args.stem,
                        trunk_depth=args.trunk_depth,
-                       compute_dtype=args.dtype),
+                       compute_dtype=args.dtype,
+                       dropout_impl=args.dropout_impl,
+                       skip_fusion=args.skip_fusion),
         label=LabelCfg(patch_size=args.patch_size,
                        std_height_px=args.std_height,
                        lm_flip_perm=(tuple(int(i) for i in
@@ -722,6 +726,10 @@ def _add_infer_flags(p) -> None:
                         "TPU; accuracy paths default to exact top-k)")
     p.add_argument("--nms-backend", choices=("auto", "jax", "pallas"),
                    default=None)
+    p.add_argument("--lm-dtype",
+                   choices=("auto", "float32", "bfloat16"), default=None,
+                   help="landmark heatmap dtype through window gather + "
+                        "peak decode (default: checkpoint InferCfg)")
     p.add_argument("--lm-backend", choices=("auto", "jax", "pallas"),
                    default=None,
                    help="landmark window-gather backend (auto = the Pallas "
@@ -784,6 +792,14 @@ def main(argv=None) -> int:
     t.add_argument("--max-restarts", type=int, default=0,
                    help="auto-restart from the last checkpoint after a "
                         "crash, up to N times")
+    t.add_argument("--dropout-impl", default="auto",
+                   choices=("auto", "flax", "packed", "fused"),
+                   help="head dropout backend (auto = measured policy, "
+                        "models/densebox.py)")
+    t.add_argument("--skip-fusion", default="auto",
+                   choices=("auto", "concat", "split"),
+                   help="skip-connection 1x1 conv layout (auto = measured "
+                        "policy; parameters identical either way)")
     t.add_argument("--profile", action="store_true")
     t.add_argument("--debug-nans", action="store_true")
     _add_infer_flags(t)

@@ -24,15 +24,17 @@ for i in range(4):
                         max_boxes=cfg.train.max_boxes,
                         num_landmarks=cfg.model.num_landmarks)
     dets = detect(params, b["image"])
-    for pred, gt, h in _match_landmarks(
+    for pred, gt, h, vis in _match_landmarks(
             {k: np.asarray(v) for k, v in dets.items()}, b):
         e = np.linalg.norm(np.asarray(pred) - np.asarray(gt), axis=-1) / h
+        e = np.where(np.asarray(vis), e, np.nan)
         errs.append(e)
 errs = np.stack(errs)          # (N, L)
 flat = errs.ravel()
+flat = flat[~np.isnan(flat)]
 print("n:", flat.size, "mean:", round(float(flat.mean()), 4))
 for q in (50, 75, 90, 95, 99):
     print(f"p{q}:", round(float(np.percentile(flat, q)), 4))
 print("frac > 0.25:", round(float((flat > 0.25).mean()), 4))
 print("frac > 0.5:", round(float((flat > 0.5).mean()), 4))
-print("per-landmark mean:", np.round(errs.mean(axis=0), 4))
+print("per-landmark mean:", np.round(np.nanmean(errs, axis=0), 4))
