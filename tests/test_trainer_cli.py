@@ -428,3 +428,34 @@ def test_cli_detect_video(tmp_path):
 
     rc = main(["detect", "--workdir", workdir])
     assert rc == 2                            # neither --image nor --video
+
+
+def test_cli_train_model_backend_knobs_serialize(tmp_path):
+    """--dropout-impl/--skip-fusion reach ModelCfg and serialize into the
+    checkpoint; --lm-dtype layers over the checkpoint InferCfg at eval
+    time (the round-4 CLI knobs, mirroring bench.py)."""
+    import json
+
+    from densebox_tpu.cli import _merged_infer_cfg, main
+    from densebox_tpu.config import InferCfg
+
+    workdir = str(tmp_path / "run")
+    rc = main(["train", "--synthetic", "--workdir", workdir,
+               "--steps", "2", "--batch-size", "2", "--width-mult", "0.125",
+               "--patch-size", "64", "--std-height", "20", "--max-boxes", "2",
+               "--ckpt-every", "2", "--log-every", "2",
+               "--dropout-impl", "flax", "--skip-fusion", "concat"])
+    assert rc == 0
+    meta = json.load(open(os.path.join(workdir, "ckpt", "2", "config",
+                                       "metadata")))
+    assert meta["model"]["dropout_impl"] == "flax"
+    assert meta["model"]["skip_fusion"] == "concat"
+
+    class _Args:
+        scales = thresh = nms_iou = max_dets = topk_per_scale = None
+        approx_topk = nms_backend = lm_decode = lm_backend = lm_topk = None
+        lm_dtype = "float32"
+
+    assert _merged_infer_cfg(InferCfg(), _Args()).lm_dtype == "float32"
+    _Args.lm_dtype = None
+    assert _merged_infer_cfg(InferCfg(), _Args()).lm_dtype == "auto"
