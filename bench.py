@@ -196,7 +196,7 @@ def main() -> None:
                     help="rematerialize the train forward in the backward "
                          "(A/B knob; measured policy in BASELINE.md)")
     ap.add_argument("--dropout-impl", default="auto",
-                    choices=["auto", "flax", "packed", "fused"],
+                    choices=["auto", "flax", "packed", "fused", "fused8"],
                     help="head dropout backend for --mode train: 'fused' is "
                          "the zero-mask-residual relu+dropout custom VJP "
                          "(A/B knob; measured policy in BASELINE.md)")
@@ -205,6 +205,11 @@ def main() -> None:
                     help="head conv1 over the skip concat vs two "
                          "sliced-weight matmuls (A/B knob; measured policy "
                          "in BASELINE.md)")
+    ap.add_argument("--pool-impl", default="auto",
+                    choices=["auto", "xla", "reshape"],
+                    help="2x2 maxpool backend: 'reshape' replaces the "
+                         "select_and_scatter backward with fused elementwise "
+                         "math (A/B knob; measured policy in BASELINE.md)")
     ap.add_argument("--up-int8", default="auto",
                     choices=["auto", "on", "off"], type=str,
                     help="int8-in/int8-out skip upsample (A/B knob; "
@@ -317,6 +322,7 @@ def main() -> None:
                    trunk_depth=args.trunk_depth or preset["depth"],
                    skip_fusion=args.skip_fusion,
                    dropout_impl=args.dropout_impl,
+                   pool_impl=args.pool_impl,
                    refine_width=refine_width)
     model = DenseBox(cfg)
     icfg = InferCfg(scales=tuple(float(s) for s in args.scales.split(",")),

@@ -76,7 +76,8 @@ def _build_cfg(args) -> "DenseBoxConfig":
                        trunk_depth=args.trunk_depth,
                        compute_dtype=args.dtype,
                        dropout_impl=args.dropout_impl,
-                       skip_fusion=args.skip_fusion),
+                       skip_fusion=args.skip_fusion,
+                       pool_impl=getattr(args, "pool_impl", "auto")),
         label=LabelCfg(patch_size=args.patch_size,
                        std_height_px=args.std_height,
                        lm_flip_perm=(tuple(int(i) for i in
@@ -793,13 +794,17 @@ def main(argv=None) -> int:
                    help="auto-restart from the last checkpoint after a "
                         "crash, up to N times")
     t.add_argument("--dropout-impl", default="auto",
-                   choices=("auto", "flax", "packed", "fused"),
+                   choices=("auto", "flax", "packed", "fused", "fused8"),
                    help="head dropout backend (auto = measured policy, "
                         "models/densebox.py)")
     t.add_argument("--skip-fusion", default="auto",
                    choices=("auto", "concat", "split"),
                    help="skip-connection 1x1 conv layout (auto = measured "
                         "policy; parameters identical either way)")
+    t.add_argument("--pool-impl", default="auto",
+                   choices=("auto", "xla", "reshape"),
+                   help="2x2 maxpool backend (auto = measured policy; "
+                        "bit-identical either way)")
     t.add_argument("--profile", action="store_true")
     t.add_argument("--debug-nans", action="store_true")
     _add_infer_flags(t)

@@ -52,7 +52,7 @@ class ModelCfg:
     # = 'split', the measured policy (round-4 train ladder, BASELINE.md:
     # 21.84 vs 20.86 steps/s).
     dropout_rate: float = 0.5       # dropout between head convs (paper §3.2)
-    dropout_impl: str = "auto"      # 'flax' | 'packed' | 'fused' | 'auto'.
+    dropout_impl: str = "auto"      # 'flax' | 'packed' | 'fused' | 'fused8' | 'auto'.
     # 'fused' fuses relu+dropout under a custom VJP whose backward derives
     # the combined mask from the OUTPUT (`g * (y > 0) / keep_prob`) — zero
     # mask residuals, so the two ~118M-element head keep masks are never
@@ -61,10 +61,19 @@ class ModelCfg:
     # derives 4 mask bytes per generated u32 word instead of one mask per
     # word (flax bernoulli), quartering the generator bytes of the two
     # ~118M-element head masks; keep probability quantizes to 1/256
-    # (exact for the paper's 0.5). 'auto' = 'flax' EVERYWHERE: packed was
-    # measured as a remote-compile bomb on the axon runtime (>20 min
-    # compiles, BASELINE.md round 3) and stays a wired, unit-tested
-    # backend for runtimes with a local compiler only.
+    # (exact for the paper's 0.5). 'auto' = 'fused', the measured policy
+    # (round-4 train ladder, BASELINE.md: 22.48 vs 21.84 steps/s).
+    # 'packed' was measured as a remote-compile bomb on the axon runtime
+    # (>20 min compiles, BASELINE.md round 3) and stays a wired,
+    # unit-tested backend for runtimes with a local compiler only.
+    pool_impl: str = "auto"         # 'xla' | 'reshape' | 'auto'. 'reshape'
+    # computes the 2x2/2 maxpool as a reshape + max over the two window
+    # axes with a custom VJP whose backward is pure elementwise math +
+    # length-2 cumsums (first-max tie rule, bit-matching XLA's
+    # select_and_scatter) — the select_and_scatter bwd op was 1.1 ms/step
+    # in the round-3 train profile. Forward and backward are bit-identical
+    # to 'xla' (equality-tested, ties included). 'auto' = the measured
+    # policy (see models/densebox.py::resolved_pool_impl).
     compute_dtype: str = "float32"  # 'bfloat16' for production inference
     param_dtype: str = "float32"
 

@@ -137,6 +137,62 @@ def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("oh,bhwc->bowc", ah, y, precision=prec)
 
 
+@jax.custom_vjp
+def max_pool_2x2_reshape(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/2 maxpool as reshape + max over the window axes.
+
+    Forward is bit-identical to ``nn.max_pool(x, (2, 2), strides=(2, 2))``
+    (same values, no padding involved at even extents). The custom VJP
+    routes the gradient to the FIRST maximal element in row-major window
+    order — exactly XLA's select_and_scatter tie rule, so backward is also
+    bit-identical to the lax.reduce_window path — but as pure elementwise
+    ops + two length-2 cumsums, which XLA fuses, instead of the
+    select_and_scatter op (1.1 ms/step in the round-3 train profile,
+    BASELINE.md)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
+
+
+def _max_pool_2x2_fwd(x):
+    y = max_pool_2x2_reshape(x)
+    return y, (x, y)
+
+
+def _max_pool_2x2_bwd(res, g):
+    x, y = res
+    b, h, w, c = x.shape
+    xw = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    eq = xw == y[:, :, None, :, None, :]
+    # first-max in row-major window order: an element receives the gradient
+    # iff it equals the max AND no earlier window element (by rows, then
+    # columns within the row) also does — matching select_and_scatter
+    rowsum = eq.sum(axis=4, keepdims=True)
+    prior_rows = jnp.cumsum(rowsum, axis=2) - rowsum
+    prior_cols = jnp.cumsum(eq, axis=4) - eq
+    first = eq & ((prior_rows + prior_cols) == 0)
+    gx = jnp.where(first, g[:, :, None, :, None, :],
+                   jnp.zeros((), g.dtype)).reshape(b, h, w, c)
+    return (gx,)
+
+
+max_pool_2x2_reshape.defvjp(_max_pool_2x2_fwd, _max_pool_2x2_bwd)
+
+
+def resolved_pool_impl(cfg: ModelCfg) -> str:
+    impl = cfg.pool_impl
+    if impl == "auto":
+        # measured policy (round-4 A/B, BASELINE.md): pending — 'xla'
+        # until the reshape backend's train A/B lands
+        impl = "xla"
+    return impl
+
+
+def _max_pool(x: jnp.ndarray, cfg: ModelCfg) -> jnp.ndarray:
+    if resolved_pool_impl(cfg) == "reshape":
+        return max_pool_2x2_reshape(x)
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
 class _PackedDropout(nn.Module):
     """Dropout whose mask spends 8 random bits per element instead of 32.
 
@@ -178,7 +234,7 @@ class _PackedDropout(nn.Module):
 
 
 @functools.lru_cache(maxsize=None)
-def fused_relu_dropout(rate: float):
+def fused_relu_dropout(rate: float, bits8: bool = False):
     """relu+dropout fused so backward needs NO saved mask.
 
     Forward draws the same bernoulli mask flax's ``nn.Dropout`` would for
@@ -189,12 +245,27 @@ def fused_relu_dropout(rate: float):
     keep_prob``. Its only residual is y itself — which the following
     conv's weight-grad already keeps — so the ~118M-element bool keep
     masks of the two production head dropouts (round-3 train profile,
-    BASELINE.md) are never stored or re-read in backward."""
+    BASELINE.md) are never stored or re-read in backward.
+
+    ``bits8=True`` ('fused8') additionally draws the mask from UINT8
+    random bytes (keep iff byte >= round(rate*256); keep probability
+    quantized to 1/256 — exact for the paper's 0.5). XLA's
+    RngBitGenerator then emits a quarter of the generator words the u32
+    bernoulli draw needs — the two head-mask generators were 2.16 ms/step
+    EACH in the round-4 train profile — with no user-level pack/unpack
+    reshape (the round-3 'packed' backend's remote-compile bomb)."""
     keep_prob = 1.0 - rate
+    thresh = int(round(rate * 256))
+    if bits8:
+        keep_prob = 1.0 - thresh / 256.0
 
     @jax.custom_vjp
     def f(x, key):
-        keep = jax.random.bernoulli(key, keep_prob, x.shape)
+        if bits8:
+            keep = jax.random.bits(key, x.shape, jnp.uint8) >= jnp.uint8(
+                thresh)
+        else:
+            keep = jax.random.bernoulli(key, keep_prob, x.shape)
         return jnp.where(keep, jnp.maximum(x, 0) / keep_prob,
                          jnp.zeros((), x.dtype))
 
@@ -288,9 +359,10 @@ class _Head(nn.Module):
                         kernel_init=nn.initializers.he_normal(),
                         name=f"{self.name_prefix}_conv1")(x)
         rate = self.cfg.dropout_rate
-        if (train and rate > 0.0
-                and resolved_dropout_impl(self.cfg) == "fused"):
-            x = fused_relu_dropout(rate)(x, self.make_rng("dropout"))
+        impl = resolved_dropout_impl(self.cfg)
+        if train and rate > 0.0 and impl in ("fused", "fused8"):
+            x = fused_relu_dropout(rate, bits8=impl == "fused8")(
+                x, self.make_rng("dropout"))
         else:
             x = nn.relu(x)
             x = _dropout(self.cfg)(x, deterministic=not train)
@@ -343,7 +415,7 @@ class DenseBox(nn.Module):
             elif kind == "s2d4":
                 x = space_to_depth(x, 4)
             else:
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = _max_pool(x, cfg)
         f4 = x
 
         sf = cfg.skip_fusion

@@ -298,3 +298,90 @@ def test_fused_dropout_model_forward_and_grad():
 
     g = jax.grad(loss)(params)
     assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree.leaves(g))
+
+
+def test_reshape_maxpool_exact_vs_xla_with_ties():
+    """max_pool_2x2_reshape: forward bit-identical to nn.max_pool; the
+    custom-VJP backward bit-matches XLA's select_and_scatter first-max tie
+    rule — on an input quantized to force ties (incl. all-equal windows,
+    the post-relu zero-plateau case)."""
+    from flax import linen as nn
+
+    from densebox_tpu.models.densebox import max_pool_2x2_reshape
+
+    x = jax.random.normal(jax.random.key(0), (2, 16, 24, 8))
+    x = jnp.maximum(jnp.round(x * 2) / 2, 0.0)  # coarse grid + relu zeros
+
+    ref = lambda x: nn.max_pool(x, (2, 2), strides=(2, 2))  # noqa: E731
+    y = jax.jit(max_pool_2x2_reshape)(x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref(x)))
+
+    w = jax.random.normal(jax.random.key(1), y.shape)
+    g = jax.jit(jax.grad(lambda x: (max_pool_2x2_reshape(x) * w).sum()))(x)
+    g_ref = jax.grad(lambda x: (ref(x) * w).sum())(x)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(g_ref))
+
+
+def test_pool_impl_model_equality():
+    """DenseBox forward/backward identical under pool_impl 'xla' vs
+    'reshape' (the fast s2d config has two pool stages)."""
+    cfg_x = ModelCfg(width_mult=0.125, stem="s2d", trunk_depth=2,
+                     pool_impl="xla")
+    cfg_r = ModelCfg(width_mult=0.125, stem="s2d", trunk_depth=2,
+                     pool_impl="reshape")
+    model_x, params, x = _init(cfg_x, 48, 48)
+    model_r = DenseBox(cfg_r)
+
+    out_x = model_x.apply(params, x)
+    out_r = model_r.apply(params, x)
+    for k in out_x:
+        np.testing.assert_array_equal(np.asarray(out_x[k]),
+                                      np.asarray(out_r[k]), err_msg=k)
+
+    def loss(model):
+        def f(p):
+            out = model.apply(p, x, train=True,
+                              rngs={"dropout": jax.random.key(7)})
+            return (out["score"] ** 2).mean() + (out["loc"] ** 2).mean()
+        return f
+
+    g_x = jax.grad(loss(model_x))(params)
+    g_r = jax.grad(loss(model_r))(params)
+    for lx, lr in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_r)):
+        np.testing.assert_array_equal(np.asarray(lx), np.asarray(lr))
+
+
+def test_fused8_relu_dropout_semantics():
+    """fused8: byte-threshold keep mask (exact 0.5 rate), forward equals
+    the explicit uint8-draw twin bit-for-bit, gradient equals the unfused
+    autodiff gradient, and the model-level backend trains."""
+    from densebox_tpu.models.densebox import fused_relu_dropout
+
+    rate = 0.5
+    x = jax.random.normal(jax.random.key(0), (4, 12, 12, 16))
+    key = jax.random.key(1)
+    f = fused_relu_dropout(rate, bits8=True)
+
+    def unfused(x):
+        keep = jax.random.bits(key, x.shape, jnp.uint8) >= jnp.uint8(128)
+        return jnp.where(keep, jnp.maximum(x, 0) / 0.5,
+                         jnp.zeros((), x.dtype))
+
+    y = jax.jit(f)(x, key)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(unfused(x)))
+    kept = float((np.asarray(y) != 0).mean())
+    assert 0.15 < kept < 0.35  # ~0.5 keep x ~0.5 relu-positive
+
+    g = jax.jit(jax.grad(lambda x: (f(x, key) ** 2).sum()))(x)
+    g_ref = jax.grad(lambda x: (unfused(x) ** 2).sum())(x)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(g_ref))
+
+    cfg = ModelCfg(width_mult=0.125, dropout_impl="fused8")
+    model, params, xm = _init(cfg, 48, 48)
+    out = model.apply(params, xm, train=True,
+                      rngs={"dropout": jax.random.key(2)})
+    gm = jax.grad(lambda p: (model.apply(
+        p, xm, train=True,
+        rngs={"dropout": jax.random.key(3)})["score"] ** 2).mean())(params)
+    assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree.leaves(gm))
+    assert out["score"].shape[-1] == 1
