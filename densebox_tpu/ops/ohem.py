@@ -39,6 +39,26 @@ def _rank_desc(values: jnp.ndarray) -> jnp.ndarray:
     return jnp.argsort(order)
 
 
+def _select_topk_desc(values: jnp.ndarray, cand: jnp.ndarray,
+                      k: jnp.ndarray) -> jnp.ndarray:
+    """Select the k largest candidates, ties broken by LOWEST index —
+    bit-identical to the stable argsort rank trick
+    (``cand & (_rank_desc(where(cand, values, -inf)) < k)``) but with ONE
+    value-only sort instead of two index-payload sorts per call. The rank
+    twin was 0.76 ms/step of FWD sort in the round-4 train profile (four
+    variadic sorts per mask); this is two value sorts + elementwise math.
+    `k` is a traced scalar; values must be finite on candidates."""
+    v = jnp.where(cand, values, -jnp.inf)
+    s = -jnp.sort(-v)                      # descending
+    th = s[jnp.maximum(k - 1, 0)]          # value at rank k-1
+    above = cand & (v > th)
+    n_above = jnp.sum(above)
+    tie = cand & (v == th)
+    tie_order = jnp.cumsum(tie) - 1        # 0-based index-order rank of ties
+    sel = above | (tie & (tie_order < (k - n_above)))
+    return sel & (k > 0)
+
+
 def ohem_mask(
     sq_loss: jnp.ndarray,    # (P,) per-pixel squared cls error
     pos: jnp.ndarray,        # (P,) bool positives
@@ -47,6 +67,28 @@ def ohem_mask(
     cfg: LossCfg,
 ) -> jnp.ndarray:
     """Per-sample OHEM sampling mask (bool, (P,)). Fixed shapes throughout."""
+    neg_cand = ~pos & ~ignore
+    npos = jnp.sum(pos)
+    n_neg = jnp.where(npos > 0,
+                      jnp.round(cfg.neg_pos_ratio * npos).astype(jnp.int32),
+                      jnp.int32(cfg.min_neg))
+    n_neg = jnp.minimum(n_neg, jnp.sum(neg_cand))
+    n_hard = jnp.floor(cfg.hard_frac * n_neg).astype(jnp.int32)
+    n_rand = n_neg - n_hard
+
+    hard_sel = _select_topk_desc(sq_loss, neg_cand, n_hard)
+
+    rnd = jax.random.uniform(key, sq_loss.shape)
+    rand_cand = neg_cand & ~hard_sel
+    rand_sel = _select_topk_desc(rnd, rand_cand, n_rand)
+
+    return pos | hard_sel | rand_sel
+
+
+def ohem_mask_rank(sq_loss, pos, ignore, key, cfg):
+    """The original argsort∘argsort formulation — kept as the equality twin
+    for :func:`ohem_mask` (rounds 1–3 goldens were produced by this path;
+    the sort-threshold rewrite must match it bit-for-bit)."""
     neg_cand = ~pos & ~ignore
     npos = jnp.sum(pos)
     n_neg = jnp.where(npos > 0,

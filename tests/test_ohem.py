@@ -102,3 +102,22 @@ def test_loss_jits_and_grads_finite():
         assert np.isfinite(np.asarray(leaf)).all()
     # positives must receive cls gradient
     assert np.abs(np.asarray(g["score"])[np.asarray(gts["score"]) > 0]).min() > 0
+
+
+def test_sort_threshold_mask_bit_equals_rank_twin():
+    """ohem_mask (sort+threshold rewrite) is bit-identical to the original
+    argsort-rank formulation across random cases engineered for ties
+    (quantized losses, all-negative patches, zero-positive patches)."""
+    from densebox_tpu.ops.ohem import ohem_mask, ohem_mask_rank
+
+    cfg = LossCfg()
+    p = 400
+    for seed in range(8):
+        k0, k1, k2, k3 = jax.random.split(jax.random.key(seed), 4)
+        sq = jnp.round(jax.random.uniform(k0, (p,)) * 8) / 8  # forced ties
+        pos = jax.random.uniform(k1, (p,)) < (0.0 if seed == 3 else 0.08)
+        ign = (jax.random.uniform(k2, (p,)) < 0.1) & ~pos
+        m_new = ohem_mask(sq, pos, ign, k3, cfg)
+        m_old = ohem_mask_rank(sq, pos, ign, k3, cfg)
+        np.testing.assert_array_equal(np.asarray(m_new), np.asarray(m_old),
+                                      err_msg=f"seed {seed}")
