@@ -72,8 +72,10 @@ class ModelCfg:
     # length-2 cumsums (first-max tie rule, bit-matching XLA's
     # select_and_scatter) — the select_and_scatter bwd op was 1.1 ms/step
     # in the round-3 train profile. Forward and backward are bit-identical
-    # to 'xla' (equality-tested, ties included). 'auto' = the measured
-    # policy (see models/densebox.py::resolved_pool_impl).
+    # to 'xla' (equality-tested, ties included). 'auto' = 'xla': reshape
+    # measured −16% end to end (round-4 A/B, BASELINE.md) — the
+    # interleaved-axis tie-break backward costs more than the op it
+    # removes. Kept as a wired, tested backend.
     compute_dtype: str = "float32"  # 'bfloat16' for production inference
     param_dtype: str = "float32"
 

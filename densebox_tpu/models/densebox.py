@@ -181,8 +181,12 @@ max_pool_2x2_reshape.defvjp(_max_pool_2x2_fwd, _max_pool_2x2_bwd)
 def resolved_pool_impl(cfg: ModelCfg) -> str:
     impl = cfg.pool_impl
     if impl == "auto":
-        # measured policy (round-4 A/B, BASELINE.md): pending — 'xla'
-        # until the reshape backend's train A/B lands
+        # measured policy (round-4 A/B, BASELINE.md): 'xla' — the reshape
+        # backend measured 18.91 vs 22.51 steps/s (−16%) on the fast
+        # w0.5/B128 train config: its elementwise tie-break backward over
+        # the interleaved (b, h/2, 2, w/2, 2, c) window axes costs far
+        # more than the 1.06 ms/step select_and_scatter it replaces.
+        # Kept as a wired, equality-tested backend.
         impl = "xla"
     return impl
 

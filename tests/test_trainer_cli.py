@@ -444,12 +444,14 @@ def test_cli_train_model_backend_knobs_serialize(tmp_path):
                "--steps", "2", "--batch-size", "2", "--width-mult", "0.125",
                "--patch-size", "64", "--std-height", "20", "--max-boxes", "2",
                "--ckpt-every", "2", "--log-every", "2",
-               "--dropout-impl", "flax", "--skip-fusion", "concat"])
+               "--dropout-impl", "flax", "--skip-fusion", "concat",
+               "--pool-impl", "reshape"])
     assert rc == 0
     meta = json.load(open(os.path.join(workdir, "ckpt", "2", "config",
                                        "metadata")))
     assert meta["model"]["dropout_impl"] == "flax"
     assert meta["model"]["skip_fusion"] == "concat"
+    assert meta["model"]["pool_impl"] == "reshape"
 
     class _Args:
         scales = thresh = nms_iou = max_dets = topk_per_scale = None
