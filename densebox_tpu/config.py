@@ -61,8 +61,11 @@ class ModelCfg:
     # derives 4 mask bytes per generated u32 word instead of one mask per
     # word (flax bernoulli), quartering the generator bytes of the two
     # ~118M-element head masks; keep probability quantizes to 1/256
-    # (exact for the paper's 0.5). 'auto' = 'fused', the measured policy
-    # (round-4 train ladder, BASELINE.md: 22.48 vs 21.84 steps/s).
+    # (exact for the paper's 0.5). 'fused8' = 'fused' whose forward draws
+    # the mask from uint8 random bytes — 4x fewer RngBitGenerator words
+    # with no user-level pack reshape; same 1/256 keep-prob quantization.
+    # 'auto' = 'fused8', the measured policy (round-4 train ladder,
+    # BASELINE.md: fused 22.48 vs 21.84; fused8 23.52 vs 22.51 steps/s).
     # 'packed' was measured as a remote-compile bomb on the axon runtime
     # (>20 min compiles, BASELINE.md round 3) and stays a wired,
     # unit-tested backend for runtimes with a local compiler only.

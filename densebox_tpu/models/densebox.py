@@ -288,15 +288,16 @@ def fused_relu_dropout(rate: float, bits8: bool = False):
 def resolved_dropout_impl(cfg: ModelCfg) -> str:
     impl = cfg.dropout_impl
     if impl == "auto":
-        # measured policy (round-4 A/B, BASELINE.md): 'fused' — 22.48 vs
-        # 21.84 steps/s (+2.9%) on fast w0.5/B128 train. The relu+dropout
-        # custom VJP saves zero mask residuals (backward derives the
-        # combined mask from the already-saved output: y>0 iff kept and
-        # positive), cutting the ~118M-element bool mask save/load per
-        # head per step. 'packed' remains disqualified as a default by
-        # its remote-compile bomb (round 3); 'flax' kept as the reference
-        # backend, both wired + equality-tested.
-        impl = "fused"
+        # measured policy (round-4 A/Bs, BASELINE.md): 'fused8' — the
+        # zero-mask-residual relu+dropout VJP ('fused', 22.48 vs 21.84
+        # steps/s, +2.9%) PLUS a uint8 RNG draw (23.52 vs 22.51 steps/s,
+        # +4.5% — RngBitGenerator emits 4x fewer generator words for the
+        # two ~118M-element head masks, which were 2.16 ms/step each in
+        # the round-4 profile). Keep probability quantizes to 1/256 —
+        # exact for the paper's 0.5 rate. 'packed' remains disqualified
+        # as a default by its remote-compile bomb (round 3); 'flax' kept
+        # as the reference backend; all wired + equality-tested.
+        impl = "fused8"
     return impl
 
 
