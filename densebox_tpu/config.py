@@ -69,6 +69,21 @@ class ModelCfg:
     # 'packed' was measured as a remote-compile bomb on the axon runtime
     # (>20 min compiles, BASELINE.md round 3) and stays a wired,
     # unit-tested backend for runtimes with a local compiler only.
+    head_impl: str = "auto"         # 'separate' | 'fused' | 'auto'. 'fused'
+    # computes ALL prediction heads (det/loc[/lm]) as ONE conv1 GEMM over
+    # Cout-concatenated weights plus ONE block-diagonal conv2, with a
+    # single relu+dropout pass (one RNG draw) over the fused hidden
+    # tensor. The shared skip-feature reads (and, in backward, the
+    # per-head dgrad contributions that must otherwise be summed) happen
+    # once instead of once per head. Parameters stay byte-identical to
+    # 'separate' (each head's convs declared under its own scope), so
+    # checkpoints are interchangeable; the dropout mask STREAM differs
+    # (one fused draw vs per-head draws — same distribution). The
+    # block-diagonal conv2 adds only zero-block FLOPs (Cout sums to 5+L).
+    # This is NOT the rejected int8-infer 'head_fuse' (which split the
+    # fused tensor before per-head conv2s and lost to relayout copies);
+    # here nothing large is ever sliced. 'auto' = 'separate' until the
+    # train A/B lands (bench.py --mode train --head-impl fused).
     pool_impl: str = "auto"         # 'xla' | 'reshape' | 'auto'. 'reshape'
     # computes the 2x2/2 maxpool as a reshape + max over the two window
     # axes with a custom VJP whose backward is pure elementwise math +

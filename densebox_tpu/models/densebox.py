@@ -337,6 +337,123 @@ class _SplitConv1x1(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class _ConvParams1x1(nn.Module):
+    """Parameter-only twin of a 1x1 ``nn.Conv``: declares {kernel, bias}
+    with identical shapes, initializers, and scope path, but performs no
+    computation — the fused-heads path assembles these into concatenated /
+    block-diagonal weights itself."""
+
+    features: int
+    in_features: int
+    param_dtype: object
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.he_normal(),
+                            (1, 1, self.in_features, self.features),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return kernel, bias
+
+
+class _HeadParams(nn.Module):
+    """Parameter-only twin of :class:`_Head` (same scope layout:
+    ``<name>/<prefix>_conv1`` and ``<name>/<prefix>_conv2``), used by the
+    fused-heads path so 'fused' and 'separate' checkpoints are
+    byte-interchangeable."""
+
+    cfg: ModelCfg
+    out_channels: int
+    name_prefix: str
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        width = self.cfg.scaled(self.cfg.head_width)
+        pdtype = jnp.dtype(self.cfg.param_dtype)
+        k1, b1 = _ConvParams1x1(width, self.in_features, pdtype,
+                                name=f"{self.name_prefix}_conv1")()
+        k2, b2 = _ConvParams1x1(self.out_channels, width, pdtype,
+                                name=f"{self.name_prefix}_conv2")()
+        return k1, b1, k2, b2
+
+
+def resolved_head_impl(cfg: ModelCfg) -> str:
+    impl = cfg.head_impl
+    if impl == "auto":
+        # pending the train A/B (bench.py --mode train --head-impl fused);
+        # flip to the measured winner with the number, like every other
+        # auto policy in this file
+        impl = "separate"
+    return impl
+
+
+def _fused_heads(cfg: ModelCfg, feat, spec, *, train: bool, make_rng,
+                 dropout_module):
+    """All prediction heads as ONE conv1 GEMM + ONE block-diagonal conv2.
+
+    ``spec`` is ((name_prefix, out_channels), ...). Must run inside
+    DenseBox's compact context (module instantiation registers the
+    per-head params as direct children, exactly where _Head would put
+    them). Returns {prefix: (B, H, W, out_channels)}.
+
+    Math identity vs separate heads: conv1 weights concatenate along Cout
+    (independent GEMM columns); conv2 weights form a block-diagonal
+    (W*n_heads, sum(out)) matrix whose off-blocks are exact zeros — each
+    output element's accumulation picks up only its own head's terms, so
+    values match 'separate' to f32-sum-order noise (equality-tested).
+    Gradients are exact: the concat/zero-pad assemblies transpose to
+    slices, so each head's param grads are untouched by the fusion.
+    """
+    dtype = jnp.dtype(cfg.compute_dtype)
+    prec = matmul_precision(dtype)
+    width = cfg.scaled(cfg.head_width)
+    if isinstance(feat, tuple):
+        cin = feat[0].shape[-1] + feat[1].shape[-1]
+    else:
+        cin = feat.shape[-1]
+    hp = [_HeadParams(cfg, oc, pfx, cin, name=pfx)() for pfx, oc in spec]
+
+    k1 = jnp.concatenate([p[0] for p in hp], axis=-1)[0, 0].astype(dtype)
+    b1 = jnp.concatenate([p[1] for p in hp], axis=-1).astype(dtype)
+    if isinstance(feat, tuple):
+        a, b = feat
+        ca = a.shape[-1]
+        y = (jnp.einsum("bhwc,co->bhwo", a.astype(dtype), k1[:ca],
+                        precision=prec)
+             + jnp.einsum("bhwc,co->bhwo", b.astype(dtype), k1[ca:],
+                          precision=prec)) + b1
+    else:
+        y = jnp.einsum("bhwc,co->bhwo", feat.astype(dtype), k1,
+                       precision=prec) + b1
+
+    rate = cfg.dropout_rate
+    impl = resolved_dropout_impl(cfg)
+    if train and rate > 0.0 and impl in ("fused", "fused8"):
+        y = fused_relu_dropout(rate, bits8=impl == "fused8")(
+            y, make_rng("dropout"))
+    else:
+        y = nn.relu(y)
+        y = dropout_module(y, deterministic=not train)
+
+    outs = [oc for _, oc in spec]
+    k2 = jnp.zeros((width * len(spec), sum(outs)), dtype)
+    o = 0
+    for i, p in enumerate(hp):
+        k2 = lax.dynamic_update_slice(
+            k2, p[2][0, 0].astype(dtype), (i * width, o))
+        o += outs[i]
+    b2 = jnp.concatenate([p[3] for p in hp], axis=-1).astype(dtype)
+    z = jnp.einsum("bhwc,co->bhwo", y, k2, precision=prec) + b2
+
+    res, o = {}, 0
+    for (pfx, oc) in spec:
+        res[pfx] = z[..., o:o + oc]
+        o += oc
+    return res
+
+
 class _Head(nn.Module):
     """1x1-conv prediction head: conv(head_width) -> ReLU -> dropout -> conv(out).
 
@@ -439,13 +556,25 @@ class DenseBox(nn.Module):
         feat = ((f3, up) if sf == "split"
                 else jnp.concatenate([f3, up], axis=-1))
 
-        score = _Head(cfg, 1, "det", name="det")(feat, train=train)
-        loc = _Head(cfg, 4, "loc", name="loc")(feat, train=train)
+        spec = [("det", 1), ("loc", 4)]
+        if cfg.num_landmarks:
+            spec.append(("lm", cfg.num_landmarks))
+        if resolved_head_impl(cfg) == "fused":
+            maps = _fused_heads(cfg, feat, tuple(spec), train=train,
+                                make_rng=self.make_rng,
+                                dropout_module=_dropout(cfg))
+            score, loc = maps["det"], maps["loc"]
+        else:
+            score = _Head(cfg, 1, "det", name="det")(feat, train=train)
+            loc = _Head(cfg, 4, "loc", name="loc")(feat, train=train)
+            maps = {}
         out = {"score": score.astype(jnp.float32),
                "loc": loc.astype(jnp.float32)}
 
         if cfg.num_landmarks:
-            lm = _Head(cfg, cfg.num_landmarks, "lm", name="lm")(feat, train=train)
+            lm = (maps["lm"] if "lm" in maps else
+                  _Head(cfg, cfg.num_landmarks, "lm", name="lm")(
+                      feat, train=train))
             out["lm"] = lm.astype(jnp.float32)
             if cfg.use_refine:
                 # Refinement branch (paper §4): fuse raw score + landmark

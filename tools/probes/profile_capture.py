@@ -74,9 +74,17 @@ time.sleep(2)
 traces = sorted(glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True))
 print("trace files:", traces)
 if traces:
+    import re
+
     with gzip.open(traces[-1], "rt") as f:
         data = json.load(f)
     durs = defaultdict(float)
+    by_tf = defaultdict(float)
+    # logical buckets: model layers by name, plus the named pipeline stages
+    # (window gather kernel, decode, NMS, top-k, resize) — same idea as
+    # train_profile.py's tf_op aggregation, tuned for the infer pipeline
+    _layer = re.compile(
+        r"/(conv\d_\d|det|loc|lm|refine\w*|window_gather\w*|concatenate)[/:]")
     host_markers = (".py", "jit_", "PjitFunction", "np.asarray", "$",
                     "pipeline")
     for ev in data.get("traceEvents", []):
@@ -85,6 +93,12 @@ if traces:
             if any(m in name for m in host_markers):
                 continue        # host-side / whole-program rows
             durs[name] += ev["dur"]
+            tf = (ev.get("args") or {}).get("tf_op", "")
+            if not tf:
+                continue
+            m = _layer.search(tf)
+            by_tf[m.group(1) if m else tf.split("/")[-1].strip(":")] \
+                += ev["dur"]
     top = sorted(durs.items(), key=lambda kv: -kv[1])[:50]
     total = sum(durs.values())
     print(f"total device op-time: {total/1e3:.1f} ms (3 pipeline calls)")
@@ -98,3 +112,7 @@ if traces:
     print("--- by op category ---")
     for name, d in sorted(cats.items(), key=lambda kv: -kv[1])[:15]:
         print(f"{d/1e3:9.2f} ms  {100*d/total:5.1f}%  {name[:60]}")
+    print("--- by logical op (tf_op metadata, device fusions only) ---")
+    tot2 = sum(by_tf.values())
+    for name, d in sorted(by_tf.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"{d/3e3:9.2f} ms/call  {100*d/tot2:5.1f}%  {name[:90]}")
