@@ -42,7 +42,7 @@ def _emit_failure(stage: str, detail: str) -> None:
 
 
 def probe_backend(retries: int = 3, backoff_s: float = 60.0,
-                  timeout_s: float = 150.0) -> None:
+                  timeout_s: float = 420.0) -> None:
     """Verify the accelerator backend initializes BEFORE committing this
     process to it. The axon chip grant is exclusive and can be left wedged
     by killed remote compiles (BASELINE.md round-3 'packed dropout');
@@ -210,6 +210,11 @@ def main() -> None:
                     help="2x2 maxpool backend: 'reshape' replaces the "
                          "select_and_scatter backward with fused elementwise "
                          "math (A/B knob; measured policy in BASELINE.md)")
+    ap.add_argument("--head-impl", default="auto",
+                    choices=["auto", "separate", "fused"],
+                    help="prediction heads as per-head conv pairs vs ONE "
+                         "conv1 GEMM + block-diagonal conv2 (A/B knob; "
+                         "measured policy in BASELINE.md)")
     ap.add_argument("--up-int8", default="auto",
                     choices=["auto", "on", "off"], type=str,
                     help="int8-in/int8-out skip upsample (A/B knob; "
@@ -261,9 +266,10 @@ def main() -> None:
     ap.add_argument("--probe-retries", type=int, default=3)
     ap.add_argument("--probe-backoff", type=float, default=60.0,
                     help="seconds between backend probe retries")
-    ap.add_argument("--probe-timeout", type=float, default=150.0,
+    ap.add_argument("--probe-timeout", type=float, default=420.0,
                     help="per-attempt backend init timeout (a wedged grant "
-                         "hangs forever)")
+                         "hangs forever; a HEALTHY grant has measured up "
+                         "to ~270s cold init on this tunnel — round 5)")
     ap.add_argument("--compile-probe", default="auto",
                     choices=["auto", "on", "off"],
                     help="compile a tiny-shape variant first so a "
@@ -323,6 +329,7 @@ def main() -> None:
                    skip_fusion=args.skip_fusion,
                    dropout_impl=args.dropout_impl,
                    pool_impl=args.pool_impl,
+                   head_impl=args.head_impl,
                    refine_width=refine_width)
     model = DenseBox(cfg)
     icfg = InferCfg(scales=tuple(float(s) for s in args.scales.split(",")),

@@ -77,7 +77,8 @@ def _build_cfg(args) -> "DenseBoxConfig":
                        compute_dtype=args.dtype,
                        dropout_impl=args.dropout_impl,
                        skip_fusion=args.skip_fusion,
-                       pool_impl=getattr(args, "pool_impl", "auto")),
+                       pool_impl=getattr(args, "pool_impl", "auto"),
+                       head_impl=getattr(args, "head_impl", "auto")),
         label=LabelCfg(patch_size=args.patch_size,
                        std_height_px=args.std_height,
                        lm_flip_perm=(tuple(int(i) for i in
@@ -805,6 +806,11 @@ def main(argv=None) -> int:
                    choices=("auto", "xla", "reshape"),
                    help="2x2 maxpool backend (auto = measured policy; "
                         "bit-identical either way)")
+    t.add_argument("--head-impl", default="auto",
+                   choices=("auto", "separate", "fused"),
+                   help="prediction-head layout: per-head conv pairs vs one "
+                        "fused conv1 GEMM + block-diagonal conv2 (auto = "
+                        "measured policy; parameters identical either way)")
     t.add_argument("--profile", action="store_true")
     t.add_argument("--debug-nans", action="store_true")
     _add_infer_flags(t)

@@ -214,8 +214,9 @@ class InferCfg:
     lm_dtype: str = "auto"          # landmark heatmap dtype through the
                                     # window gather + peak search:
                                     # 'float32' | 'bfloat16' | 'auto' (=
-                                    # measured policy, BASELINE.md round
-                                    # 3). bf16 halves the strip-DMA and
+                                    # 'bfloat16', the measured policy —
+                                    # +5.8% lm4 img/s, BASELINE.md round-4
+                                    # step 05). bf16 halves the strip-DMA and
                                     # peak-reduce read traffic; the
                                     # argmax tie-break prior and the
                                     # sub-pixel parabola still run in f32

@@ -29,6 +29,19 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def resolved_lm_dtype(infer_cfg: InferCfg) -> str:
+    ld = infer_cfg.lm_dtype
+    if ld == "auto":
+        # measured policy (round-4 A/B, BASELINE.md step 05/11):
+        # 'bfloat16' — 4,123 vs 3,898 img/s (+5.8%) on the lm4 turbo
+        # pipeline (halves the window-DMA + peak-reduce bytes), and it is
+        # what lets the dp=16 window queue pay (+2.2% more, step 11).
+        # NME certified identical on the lm4 cert checkpoint
+        # (docs/QUALITY.md lm_dtype row).
+        ld = "bfloat16"
+    return ld
+
+
 def pyramid_shapes(h: int, w: int, scales, multiple: int = 8
                    ) -> List[Tuple[int, int, float, float]]:
     """Static per-scale resize targets. Scaled dims are rounded up to the
@@ -416,10 +429,7 @@ def detect_batch(
         all_valid.append(valid)
 
         if "lm" in out:
-            ld = infer_cfg.lm_dtype
-            if ld == "auto":
-                # measured policy (round-3 A/B, BASELINE.md): pending
-                ld = "float32"
+            ld = resolved_lm_dtype(infer_cfg)
             lm_maps.append((out["lm"].astype(ld), (sx, sy)))
 
     # Cross-scale: concat fixed-K candidate sets, one global NMS (SURVEY §4.5)

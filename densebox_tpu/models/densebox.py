@@ -214,13 +214,16 @@ class _PackedDropout(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool) -> jnp.ndarray:
         thresh = int(round(self.rate * 256))
-        if deterministic or thresh == 0:
+        if deterministic or self.rate == 0.0:
             return x
         keep_prob = 1.0 - thresh / 256.0
         key = self.make_rng("dropout")
         c = x.shape[-1]
-        if c % 4:
-            # channel count not byte-packable: plain bernoulli fallback
+        if c % 4 or not 0 < thresh < 256:
+            # channel count not byte-packable, or rate outside the uint8
+            # band (thresh 256 → keep_prob 0 divide-by-zero; thresh 0 →
+            # silently no dropout): plain exact-rate bernoulli fallback
+            keep_prob = 1.0 - self.rate
             keep = jax.random.bernoulli(key, keep_prob, x.shape)
         else:
             # draw u32 words shaped like x but with a quarter-size minor
@@ -260,6 +263,12 @@ def fused_relu_dropout(rate: float, bits8: bool = False):
     reshape (the round-3 'packed' backend's remote-compile bomb)."""
     keep_prob = 1.0 - rate
     thresh = int(round(rate * 256))
+    if bits8 and not 0 < thresh < 256:
+        # thresh == 256 would overflow the uint8 compare (keep_prob 0 →
+        # division by zero); thresh == 0 would silently disable dropout
+        # for 0 < rate < 1/512. Outside the representable band the u32
+        # bernoulli draw is the correct (exact) fallback. (ADVICE r4)
+        bits8 = False
     if bits8:
         keep_prob = 1.0 - thresh / 256.0
 
@@ -298,6 +307,13 @@ def resolved_dropout_impl(cfg: ModelCfg) -> str:
         # as a default by its remote-compile bomb (round 3); 'flax' kept
         # as the reference backend; all wired + equality-tested.
         impl = "fused8"
+        if round(cfg.dropout_rate * 256) / 256.0 != cfg.dropout_rate:
+            # 'fused8' quantizes the keep probability to a 1/256 grid;
+            # when the configured rate is not exactly representable,
+            # 'auto' must not silently change semantics — fall back to
+            # the exact-rate 'fused' backend (same zero-mask-residual
+            # VJP, u32 bernoulli draw). Explicit 'fused8' still opts in.
+            impl = "fused"
     return impl
 
 
@@ -377,6 +393,18 @@ class _HeadParams(nn.Module):
         k2, b2 = _ConvParams1x1(self.out_channels, width, pdtype,
                                 name=f"{self.name_prefix}_conv2")()
         return k1, b1, k2, b2
+
+
+def resolved_skip_fusion(cfg: ModelCfg) -> str:
+    sf = cfg.skip_fusion
+    if sf == "auto":
+        # measured policy (round-4 train ladder, BASELINE.md): 'split'
+        # — 21.84 vs 20.86 steps/s (+4.7%) on fast w0.5/B128/240px; it
+        # removes the concat tensor + its 2.3 ms/step relayout copy
+        # named by the round-3 train profile. Outputs agree with
+        # 'concat' to f32-sum-order noise (equality test).
+        sf = "split"
+    return sf
 
 
 def resolved_head_impl(cfg: ModelCfg) -> str:
@@ -540,14 +568,7 @@ class DenseBox(nn.Module):
                 x = _max_pool(x, cfg)
         f4 = x
 
-        sf = cfg.skip_fusion
-        if sf == "auto":
-            # measured policy (round-4 train ladder, BASELINE.md): 'split'
-            # — 21.84 vs 20.86 steps/s (+4.7%) on fast w0.5/B128/240px; it
-            # removes the concat tensor + its 2.3 ms/step relayout copy
-            # named by the round-3 train profile. Outputs agree with
-            # 'concat' to f32-sum-order noise (equality test).
-            sf = "split"
+        sf = resolved_skip_fusion(cfg)
         up = upsample2x_align_corners(f4)
         # 'split' hands each head the (f3, up) pair; _SplitConv1x1 folds the
         # concat into its sliced-weight matmuls so the (B, H/4, W/4, 384)

@@ -66,8 +66,9 @@ print("tiny-shape compile ok; full-shape compile next (do not kill)",
 
 float(pipeline(qparams, images))           # compile + warm
 logdir = "/tmp/densebox_profile"
+N_CALLS = 3  # single source for the capture loop AND the ms/call divisors
 with jax.profiler.trace(logdir):
-    for i in range(3):
+    for i in range(N_CALLS):
         float(pipeline(qparams, images))
 time.sleep(2)
 
@@ -101,7 +102,8 @@ if traces:
                 += ev["dur"]
     top = sorted(durs.items(), key=lambda kv: -kv[1])[:50]
     total = sum(durs.values())
-    print(f"total device op-time: {total/1e3:.1f} ms (3 pipeline calls)")
+    print(f"total device op-time: {total/1e3:.1f} ms "
+          f"({N_CALLS} pipeline calls)")
     for name, d in top:
         print(f"{d/1e3:9.2f} ms  {100*d/total:5.1f}%  {name[:100]}")
     # category rollup: which bucket owns the time
@@ -115,4 +117,5 @@ if traces:
     print("--- by logical op (tf_op metadata, device fusions only) ---")
     tot2 = sum(by_tf.values())
     for name, d in sorted(by_tf.items(), key=lambda kv: -kv[1])[:30]:
-        print(f"{d/3e3:9.2f} ms/call  {100*d/tot2:5.1f}%  {name[:90]}")
+        print(f"{d/(N_CALLS*1e3):9.2f} ms/call  {100*d/tot2:5.1f}%  "
+              f"{name[:90]}")
