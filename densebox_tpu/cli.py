@@ -78,7 +78,10 @@ def _build_cfg(args) -> "DenseBoxConfig":
                        dropout_impl=args.dropout_impl,
                        skip_fusion=args.skip_fusion,
                        pool_impl=getattr(args, "pool_impl", "auto"),
-                       head_impl=getattr(args, "head_impl", "auto")),
+                       head_impl=getattr(args, "head_impl", "auto"),
+                       **({"refine_width": args.refine_width}
+                          if getattr(args, "refine_width", None) is not None
+                          else {})),
         label=LabelCfg(patch_size=args.patch_size,
                        std_height_px=args.std_height,
                        lm_flip_perm=(tuple(int(i) for i in
@@ -811,6 +814,11 @@ def main(argv=None) -> int:
                    help="prediction-head layout: per-head conv pairs vs one "
                         "fused conv1 GEMM + block-diagonal conv2 (auto = "
                         "measured policy; parameters identical either way)")
+    t.add_argument("--refine-width", type=int, default=None,
+                   help="refine-branch conv width (model capacity knob; "
+                        "+8.1% lm4 throughput measured at 32 vs the 64 "
+                        "default — BASELINE.md round-4 step 07; requires "
+                        "training at the chosen width)")
     t.add_argument("--profile", action="store_true")
     t.add_argument("--debug-nans", action="store_true")
     _add_infer_flags(t)

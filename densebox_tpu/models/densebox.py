@@ -410,10 +410,14 @@ def resolved_skip_fusion(cfg: ModelCfg) -> str:
 def resolved_head_impl(cfg: ModelCfg) -> str:
     impl = cfg.head_impl
     if impl == "auto":
-        # pending the train A/B (bench.py --mode train --head-impl fused);
-        # flip to the measured winner with the number, like every other
-        # auto policy in this file
-        impl = "separate"
+        # measured policy (round-5 train A/B, BASELINE.md round-5 ladder):
+        # 'fused' — 24.85 vs 23.58 steps/s (+5.4%) on fast w0.5/B128/240px.
+        # One conv1 GEMM + one block-diagonal conv2 + ONE dropout mask
+        # draw across all heads attacks the 33% heads bucket of the
+        # round-4 train profile. Param tree is byte-identical to
+        # 'separate'; outputs/grads match to f32-sum-order noise
+        # (tests/test_model.py::test_head_impl_fused_*).
+        impl = "fused"
     return impl
 
 

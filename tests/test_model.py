@@ -487,7 +487,7 @@ def test_auto_policy_registry():
     assert resolved_skip_fusion(cfg) == "split"        # r4: +4.7% train
     assert resolved_dropout_impl(cfg) == "fused8"      # r4: +4.5% train
     assert resolved_pool_impl(cfg) == "xla"            # r4: reshape -16%
-    assert resolved_head_impl(cfg) in ("separate", "fused")  # r5 A/B pins
+    assert resolved_head_impl(cfg) == "fused"          # r5: +5.4% train
 
     # fused8 quantizes keep-prob to 1/256 — 'auto' must fall back to the
     # exact-rate 'fused' VJP when the configured rate is off-grid

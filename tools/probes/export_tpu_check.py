@@ -80,13 +80,20 @@ def run() -> int:
     s0 = float(out["scores"].astype(jnp.float32).sum())
     compile_s = time.perf_counter() - t0
 
+    # Invalid output slots carry a -inf score sentinel BY DESIGN
+    # (detector.py pre-NMS cap + nms.py top_k padding) — finiteness is
+    # only a correctness property of the valid slots.
+    valid = out["valid"].astype(bool)
     checks = {
         "boxes_shape": list(out["boxes"].shape),
-        "scores_finite": bool(jnp.isfinite(out["scores"]).all()),
+        "scores_finite": bool(jnp.where(valid, jnp.isfinite(
+            out["scores"]), True).all()),
+        "invalid_are_neginf": bool(jnp.where(
+            valid, True, out["scores"] == -jnp.inf).all()),
         "boxes_finite": bool(jnp.isfinite(out["boxes"]).all()),
         "lm_points": ("lm_points" in out
                       and list(out["lm_points"].shape)),
-        "n_valid": int(out["valid"].sum()),
+        "n_valid": int(valid.sum()),
     }
     # timed repeats, in-process (per-call sync; the point is "it executes
     # on the chip", not peak throughput — bench.py owns that)
@@ -100,9 +107,10 @@ def run() -> int:
         "compile_s": round(compile_s, 1),
         "ms_per_call": round(1e3 * per_call, 1),
         "img_per_s": round(b / per_call, 1),
-        "checks": checks, "scores_sum": s0,
+        "checks": checks, "scores_sum_incl_sentinels": s0,
     }), flush=True)
-    ok = checks["scores_finite"] and checks["boxes_finite"]
+    ok = (checks["scores_finite"] and checks["boxes_finite"]
+          and checks["invalid_are_neginf"])
     return 0 if ok else 1
 
 
