@@ -95,11 +95,14 @@ def _bench_train(args, model_cfg, batch: int, iters: int) -> None:
             label=LabelCfg(patch_size=patch_px,
                            std_height_px=50.0 * patch_px / 240),
             loss=LossCfg(backend=args.ohem_backend),
-            train=TrainCfg(batch_size=bsz, remat=args.remat))
+            train=TrainCfg(batch_size=bsz, remat=args.remat,
+                           canvas_dtype=args.canvas_dtype))
         canvas_cfg = LabelCfg(patch_size=2 * patch_px,
                               std_height_px=cfg.label.std_height_px)
         model = DenseBox(cfg.model)
-        b = synthetic_batch(jax.random.key(0), bsz, canvas_cfg, max_boxes=8)
+        from densebox_tpu.config import resolved_canvas_dtype
+        b = synthetic_batch(jax.random.key(0), bsz, canvas_cfg, max_boxes=8,
+                            image_dtype=resolved_canvas_dtype(cfg))
         state = create_train_state(model, cfg,
                                    b["image"][:1, :patch_px, :patch_px])
         return cfg, model, b, state
@@ -195,6 +198,11 @@ def main() -> None:
                     choices=["auto", "on", "off"],
                     help="rematerialize the train forward in the backward "
                          "(A/B knob; measured policy in BASELINE.md)")
+    ap.add_argument("--canvas-dtype", default="auto",
+                    choices=["auto", "float32", "bfloat16"],
+                    help="dtype the (synthetic) pipeline delivers train "
+                         "canvases in (A/B knob; auto = measured policy, "
+                         "config.resolved_canvas_dtype)")
     ap.add_argument("--dropout-impl", default="auto",
                     choices=["auto", "flax", "packed", "fused", "fused8"],
                     help="head dropout backend for --mode train: 'fused' is "

@@ -111,10 +111,14 @@ def _synthetic_canvas_batches(cfg):
         patch_size=canvas, std_height_px=cfg.label.std_height_px,
         stride=cfg.label.stride)
 
+    from densebox_tpu.config import resolved_canvas_dtype
+    image_dtype = resolved_canvas_dtype(cfg)
+
     def fetch(step: int) -> dict:
         return synthetic_batch(jax.random.key(step), cfg.train.batch_size,
                                canvas_cfg, max_boxes=cfg.train.max_boxes,
-                               num_landmarks=cfg.model.num_landmarks)
+                               num_landmarks=cfg.model.num_landmarks,
+                               image_dtype=image_dtype)
 
     return fetch
 
@@ -143,13 +147,15 @@ def cmd_train(args) -> int:
         # multi-host: every process runs this same program; the loader
         # shards each global batch by process and fit() reassembles via
         # make_array_from_process_local_data (parallel/mesh.py)
+        from densebox_tpu.config import resolved_canvas_dtype
         loader = PrefetchLoader(samples, cfg.train.batch_size,
                                 canvas_hw=tuple(args.canvas),
                                 max_boxes=cfg.train.max_boxes,
                                 seed=cfg.train.seed,
                                 num_landmarks=cfg.model.num_landmarks,
                                 num_shards=jax.process_count(),
-                                shard_index=jax.process_index())
+                                shard_index=jax.process_index(),
+                                image_dtype=resolved_canvas_dtype(cfg))
         batches = iter(loader)
 
     from densebox_tpu.utils.logging import maybe_profile

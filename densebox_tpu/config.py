@@ -293,6 +293,33 @@ class TrainCfg:
     # train step in f32 (round-3 profile); canvases come from 8-bit
     # images, so bf16 interpolation is sub-quantization noise. CPU parity
     # tests run compute_dtype=float32 and stay bit-exact.
+    canvas_dtype: str = "auto"      # dtype the data pipeline DELIVERS
+    # canvases in ('float32' | 'bfloat16' | 'auto' = follow crop_dtype).
+    # When the crop interpolates in bf16 anyway (crop_dtype policy
+    # above), shipping f32 canvases pays a full-canvas
+    # convert_element_type inside the train step plus 2x the H2D bytes;
+    # canvases are 8-bit image data, so bf16 at the SOURCE loses nothing
+    # the bf16 crop hadn't already dropped. Measured round-5 queue D
+    # (BASELINE.md): 24.84 vs 24.68 steps/s — inside the noise band (XLA
+    # was already fusing the convert), kept for the structural H2D win.
+    # Resolved at batch production (synthetic_batch / data.pipeline),
+    # not in the jitted step.
+
+
+def resolved_canvas_dtype(cfg: "DenseBoxConfig") -> str:
+    """'float32' | 'bfloat16' the pipeline should deliver canvases in.
+
+    'auto' follows the resolved crop_dtype chain (canvas_dtype -> crop_dtype
+    -> model.compute_dtype): if the crop already interpolates in bf16, the
+    canvas ships in bf16 too — the in-step full-canvas convert disappears
+    (speed-neutral measured, round-5 queue D) along with half the H2D
+    bytes."""
+    cd = cfg.train.canvas_dtype
+    if cd == "auto":
+        cd = cfg.train.crop_dtype
+        if cd == "auto":
+            cd = cfg.model.compute_dtype
+    return "bfloat16" if cd == "bfloat16" else "float32"
 
 
 @dataclasses.dataclass(frozen=True)

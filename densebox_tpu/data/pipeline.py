@@ -34,7 +34,7 @@ def _imread(path: str) -> np.ndarray:
 
 def canvas_batch(samples: Sequence[Sample], canvas_hw: Tuple[int, int],
                  max_boxes: int, num_landmarks: int = 0,
-                 backend: str = "auto") -> dict:
+                 backend: str = "auto", image_dtype: str = "float32") -> dict:
     """Load + zero-pad images onto a fixed canvas; pad box tensors.
     Images larger than the canvas are downscaled to fit (boxes and
     landmarks follow). With ``num_landmarks``, emits landmarks/lm_valid
@@ -98,6 +98,13 @@ def canvas_batch(samples: Sequence[Sample], canvas_hw: Tuple[int, int],
                 lms[i, :n, :pts.shape[1]] = np.where(
                     vis[..., None], pts * f, 0.0)
                 lm_valid[i, :n, :pts.shape[1]] = vis
+    if image_dtype == "bfloat16":
+        # TrainCfg.canvas_dtype delivery contract (config.py): ship 8-bit
+        # image data as bf16 from the host — halves H2D bytes and removes
+        # the in-step full-canvas convert (round-5 profile).
+        import ml_dtypes
+
+        images = images.astype(ml_dtypes.bfloat16)
     out = {"image": images, "boxes": boxes, "box_valid": valid,
            "scale": scales}   # image->canvas factor; eval maps preds back
     if num_landmarks:
@@ -115,7 +122,8 @@ class PrefetchLoader:
                  seed: int = 0, prefetch: int = 2,
                  sharding: Optional[jax.sharding.Sharding] = None,
                  num_landmarks: int = 0,
-                 num_shards: int = 1, shard_index: int = 0):
+                 num_shards: int = 1, shard_index: int = 0,
+                 image_dtype: str = "float32"):
         """``batch_size`` is the GLOBAL batch; with ``num_shards`` > 1
         (multi-host: one shard per process, seeded identically) each
         process yields its ``batch_size / num_shards`` slice of every
@@ -135,6 +143,7 @@ class PrefetchLoader:
         self.num_landmarks = num_landmarks
         self.num_shards = num_shards
         self.shard_index = shard_index
+        self.image_dtype = image_dtype
 
     def _produce_batches(self) -> Iterator[dict]:
         local = self.batch_size // self.num_shards
@@ -145,7 +154,8 @@ class PrefetchLoader:
                 lo = i + self.shard_index * local
                 batch = canvas_batch(
                     [self.samples[j] for j in order[lo:lo + local]],
-                    self.canvas_hw, self.max_boxes, self.num_landmarks)
+                    self.canvas_hw, self.max_boxes, self.num_landmarks,
+                    image_dtype=self.image_dtype)
                 if self.sharding is not None:
                     batch = {k: jax.device_put(v, self.sharding)
                              for k, v in batch.items()}

@@ -24,8 +24,13 @@ def synthetic_batch(
     label_cfg: LabelCfg,
     max_boxes: int = 4,
     num_landmarks: int = 0,
+    image_dtype=None,
 ) -> Dict[str, jnp.ndarray]:
-    """One on-device batch of rectangle patches + padded box tensors."""
+    """One on-device batch of rectangle patches + padded box tensors.
+
+    ``image_dtype`` mirrors the data pipeline's ``TrainCfg.canvas_dtype``
+    delivery contract: generation math stays f32, the stored canvas is
+    cast once here (None keeps f32 — bit-exact tests)."""
     ps = label_cfg.patch_size
     std_h = label_cfg.std_height_px
     k_n, k_c, k_h, k_a, k_noise, k_amp = jax.random.split(key, 6)
@@ -55,6 +60,8 @@ def synthetic_batch(
     amp = jax.random.uniform(k_amp, (batch_size, 1, 1), minval=0.7, maxval=1.0)
     noise = 0.15 * jax.random.normal(k_noise, (batch_size, ps, ps, 3))
     image = fg[..., None] * amp[..., None] + noise
+    if image_dtype is not None:
+        image = image.astype(image_dtype)
 
     batch = {"image": image, "boxes": boxes, "box_valid": box_valid}
     if num_landmarks:

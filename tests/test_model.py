@@ -506,6 +506,18 @@ def test_auto_policy_registry():
     src = inspect.getsource(pw)
     assert "(16, 8, 4, 2, 1)" in src
 
+    # canvas delivery dtype follows the crop-interp dtype chain (round-5
+    # queue D: 24.84 vs 24.68 steps/s — noise-band; kept because shipping
+    # the dtype the crop already interpolates in removes the in-step
+    # convert and halves loader H2D bytes, and parity tests stay f32)
+    from densebox_tpu.config import DenseBoxConfig, resolved_canvas_dtype
+    assert resolved_canvas_dtype(DenseBoxConfig()) == "float32"
+    assert resolved_canvas_dtype(DenseBoxConfig(
+        model=ModelCfg(compute_dtype="bfloat16"))) == "bfloat16"
+    assert resolved_canvas_dtype(DenseBoxConfig(
+        model=ModelCfg(compute_dtype="bfloat16"),
+        train=TrainCfg(canvas_dtype="float32"))) == "float32"
+
     assert LossCfg().backend == "auto"  # ohem auto = jax (ops/ohem.py)
     from densebox_tpu.ops import ohem
     resolved = inspect.getsource(ohem).partition('backend == "auto"')[2]
