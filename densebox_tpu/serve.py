@@ -43,8 +43,15 @@ class DetectServer:
 
     def __init__(self, model, params, infer_cfg, label_cfg,
                  canvas_hw: Tuple[int, int] = (480, 640),
-                 max_batch: int = 8, batch_window_ms: float = 5.0,
+                 max_batch: int = 8, batch_window_ms: float = 15.0,
                  warmup: bool = True):
+        # max_batch=8 / window=15 ms: measured winners of the round-5
+        # 3x3 tuning grid (BASELINE.md, 16 clients, TPU): 6.3 req/s
+        # p50 1,808 ms vs 5.6/2,741 at the old 5 ms window; deeper
+        # max_batch loses outright (32 -> 3.9-4.4 req/s: bucket
+        # padding waste dominates once coalescing is capped by the
+        # client count). The wider window costs <=10 ms at idle --
+        # noise against the ~440 ms single-client round trip.
         from densebox_tpu.infer import make_detect_fn
 
         detect = make_detect_fn(model, infer_cfg, label_cfg)
@@ -53,7 +60,7 @@ class DetectServer:
 
     @classmethod
     def from_exported(cls, path: str, max_batch: Optional[int] = None,
-                      batch_window_ms: float = 5.0, warmup: bool = True
+                      batch_window_ms: float = 15.0, warmup: bool = True
                       ) -> "DetectServer":
         """Serve a ``cli export`` StableHLO artifact directly — the serving
         process needs jax only, not the model code or the checkpoint. The

@@ -518,6 +518,13 @@ def test_auto_policy_registry():
         model=ModelCfg(compute_dtype="bfloat16"),
         train=TrainCfg(canvas_dtype="float32"))) == "float32"
 
+    # serve coalescing defaults: measured winners of the round-5 3x3
+    # tuning grid (BASELINE.md) — max_batch 8, window 15 ms
+    from densebox_tpu.serve import DetectServer
+    sig = inspect.signature(DetectServer.__init__)
+    assert sig.parameters["max_batch"].default == 8
+    assert sig.parameters["batch_window_ms"].default == 15.0
+
     assert LossCfg().backend == "auto"  # ohem auto = jax (ops/ohem.py)
     from densebox_tpu.ops import ohem
     resolved = inspect.getsource(ohem).partition('backend == "auto"')[2]
