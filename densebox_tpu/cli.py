@@ -914,9 +914,10 @@ def main(argv=None) -> int:
     s.add_argument("--max-batch", type=int, default=8,
                    help="device batch: concurrent requests coalesce up to "
                         "this many per call")
-    s.add_argument("--batch-window-ms", type=float, default=5.0,
+    s.add_argument("--batch-window-ms", type=float, default=15.0,
                    help="how long the first queued request waits for "
-                        "companions before launching")
+                        "companions before launching (15 ms = measured "
+                        "winner of the round-5 tuning grid, BASELINE.md)")
     s.add_argument("--quantize", action="store_true",
                    help="serve the int8 PTQ path (calibrate via "
                         "--calib-dir, else hermetic synthetic fallback)")

@@ -524,6 +524,9 @@ def test_auto_policy_registry():
     sig = inspect.signature(DetectServer.__init__)
     assert sig.parameters["max_batch"].default == 8
     assert sig.parameters["batch_window_ms"].default == 15.0
+    from densebox_tpu import cli as _cli
+    assert '"--batch-window-ms", type=float, default=15.0' in \
+        inspect.getsource(_cli)  # CLI default mirrors DetectServer's
 
     assert LossCfg().backend == "auto"  # ohem auto = jax (ops/ohem.py)
     from densebox_tpu.ops import ohem
